@@ -1,0 +1,21 @@
+/* Deterministic libc-rand replacement for oracle parity builds.
+ *
+ * The reference's VHS paths call rand()/srand() (crt_core.c:343-357,
+ * crt_ntscvhs.c:205-207), which is not reproducible across platforms.  The
+ * oracle is compiled with -Drand=crt_oracle_rand -Dsrand=crt_oracle_srand so
+ * those call sites resolve here instead; the framework implements the exact
+ * same generator (ntsc_crt_tpu/ops/lcg.py: RAND_A/RAND_B), making VHS output
+ * bit-reproducible on both sides of the parity tests.
+ */
+static unsigned int crt_oracle_rand_state = 1u;
+
+int crt_oracle_rand(void)
+{
+    crt_oracle_rand_state = crt_oracle_rand_state * 1103515245u + 12345u;
+    return (int)((crt_oracle_rand_state >> 16) & 0x7fff);
+}
+
+void crt_oracle_srand(unsigned int seed)
+{
+    crt_oracle_rand_state = seed;
+}
