@@ -1,0 +1,88 @@
+"""CRT state pytree and the modulate->demodulate frame step.
+
+The reference's entire runtime state is `struct CRT` (crt_core.h:74-92): two
+signal buffers, monitor knobs, carrier-convergence accumulator, sync
+estimates and the noise PRNG seed.  Here that state is an explicit, immutable
+pytree threaded through pure functions — trivially serializable (checkpoint/
+resume of a video pipeline is a jnp save), vmappable over a frame batch, and
+shardable over a device mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ntsc_crt_tpu.models.systems import SystemConfig
+from ntsc_crt_tpu.models import modulate as _mod
+from ntsc_crt_tpu.models import demodulate as _dem
+from ntsc_crt_tpu.models.demodulate import MonitorParams
+
+
+class CRTState(NamedTuple):
+    """Persistent cross-frame decoder/encoder state (crt_core.h:74-92)."""
+    analog: jax.Array         # int8 (VRES, HRES) — modulated signal
+    out: jax.Array            # uint8 (outh, outw, 3) — canonical RGB output
+    ccf: jax.Array            # int32 (cc_vper, cc_samples) — carrier EMA
+    hsync: jax.Array          # int32 scalar
+    vsync: jax.Array          # int32 scalar
+    rn: jax.Array             # int32 scalar — noise LCG state
+    randstate: jax.Array      # int32 scalar — crt_rand state (VHS paths)
+
+
+def crt_init(cfg: SystemConfig, outw: int, outh: int,
+             rand_seed: int = 1) -> CRTState:
+    """Fresh zeroed state; rn seeded to 194 like crt_init (crt_core.c:269)."""
+    return CRTState(
+        analog=jnp.zeros((cfg.vres, cfg.hres), jnp.int8),
+        out=jnp.zeros((outh, outw, 3), jnp.uint8),
+        ccf=jnp.zeros((cfg.cc_vper, cfg.cc_samples), jnp.int32),
+        hsync=jnp.zeros((), jnp.int32),
+        vsync=jnp.zeros((), jnp.int32),
+        rn=jnp.full((), 194, jnp.int32),
+        randstate=jnp.full((), rand_seed, jnp.int32),
+    )
+
+
+def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
+             field=0, frame=0, hue=0, as_color=1, xoffset=0, yoffset=0,
+             black_point=0, white_point=100, raw: bool = False) -> CRTState:
+    """Encode one frame into the analog buffer (crt_modulate equivalent)."""
+    analog, ccf = _mod.modulate_rgb(
+        cfg, state.analog, img, field=field, frame=frame, hue=hue,
+        as_color=as_color, xoffset=xoffset, yoffset=yoffset,
+        black_point=black_point, white_point=white_point, raw=raw)
+    return state._replace(analog=analog, ccf=ccf)
+
+
+def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
+               mon: Optional[MonitorParams] = None, *,
+               v_fac: int = 0) -> CRTState:
+    """Decode the analog buffer into the output image (crt_demodulate)."""
+    mon = mon or MonitorParams()
+    out, new = _dem.demodulate_core(
+        cfg, state.analog, state.out, state.hsync, state.vsync, state.ccf,
+        state.rn, noise, mon, v_fac=v_fac)
+    return state._replace(out=out, ccf=new["ccf"], hsync=new["hsync"],
+                          vsync=new["vsync"], rn=new["rn"])
+
+
+def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
+         field=0, frame=0, hue=0, noise=0,
+         mon: Optional[MonitorParams] = None,
+         as_color=1, raw: bool = False) -> CRTState:
+    """modulate + demodulate: one full frame through the composite path.
+
+    black_point/white_point live in the monitor state in the reference
+    (crt_core.h:83) and are read by BOTH the encoder (crt_ntsc.c:311,318)
+    and decoder (crt_core.c:305), so they come from `mon` here.
+    """
+    mon = mon or MonitorParams()
+    state = modulate(cfg, state, img, field=field, frame=frame, hue=hue,
+                     as_color=as_color,
+                     black_point=mon.black_point, white_point=mon.white_point,
+                     raw=raw)
+    return demodulate(cfg, state, noise=noise, mon=mon)

@@ -9,7 +9,10 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even if the shell presets JAX_PLATFORMS (e.g. the axon TPU
+# tunnel) — tests need the virtual 8-device mesh, and parity math is
+# platform-independent int32
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,93 @@
+"""Bit-exact decode parity vs the compiled reference for the NTSC system:
+single frame, the CLI's 4-frame interlace+blend accumulation loop
+(crt_main.c:241-255), seeded noise, and monitor-knob sweeps."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ntsc_crt_tpu.models.systems import NTSC
+from ntsc_crt_tpu.models import pipeline
+from ntsc_crt_tpu.models.demodulate import MonitorParams
+from oracle import Oracle
+
+
+def _img(seed, w=320, h=240):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _oracle_state(orc):
+    return dict(hsync=orc.crt.hsync, vsync=orc.crt.vsync, rn=orc.crt.rn,
+                ccf=orc.ccf.tolist())
+
+
+def test_single_frame_noise0():
+    orc = Oracle("NTSC", outw=640, outh=480)
+    img = _img(1)
+    orc.modulate(img, field=0, frame=0)
+    ref = orc.demodulate(noise=0)
+
+    st = pipeline.crt_init(NTSC, 640, 480)
+    fn = jax.jit(lambda s, im: pipeline.step(NTSC, s, im, field=0, frame=0,
+                                             noise=0))
+    st = fn(st, jnp.asarray(img))
+    got = np.asarray(st.out)
+    np.testing.assert_array_equal(got, ref, err_msg=str(_oracle_state(orc)))
+    assert int(st.hsync) == orc.crt.hsync
+    assert int(st.vsync) == orc.crt.vsync
+    assert int(st.rn) == orc.crt.rn
+    np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf)
+
+
+@pytest.mark.parametrize("noise", [0, 24, 80])
+def test_cli_accumulation_loop(noise):
+    """The reference CLI converts an image by running 4 frames with blend=1,
+    scanlines=1, toggling field and frame parity (crt_main.c:235-255)."""
+    orc = Oracle("NTSC", outw=640, outh=480)
+    orc.crt.blend = 1
+    orc.crt.scanlines = 1
+    img = _img(2)
+
+    st = pipeline.crt_init(NTSC, 640, 480)
+    mon = MonitorParams(blend=jnp.int32(1), scanlines=jnp.int32(1))
+    fn = jax.jit(lambda s, im, fi, fr, nz: pipeline.step(
+        NTSC, s, im, field=fi, frame=fr, noise=nz, mon=mon))
+
+    field, frame = 0, 0
+    for n in range(4):
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=noise)
+        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame),
+                jnp.int32(noise))
+        np.testing.assert_array_equal(np.asarray(st.out), ref,
+                                      err_msg=f"frame {n} {_oracle_state(orc)}")
+        field ^= 1
+        if n == 1:
+            frame ^= 1  # crt_main.c:247-251
+
+    assert int(st.hsync) == orc.crt.hsync
+    assert int(st.vsync) == orc.crt.vsync
+    np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf)
+
+
+def test_monitor_knobs():
+    orc = Oracle("NTSC", outw=400, outh=300)
+    orc.crt.hue = 33
+    orc.crt.brightness = 10
+    orc.crt.contrast = 210
+    orc.crt.saturation = 18
+    orc.crt.black_point = 4
+    orc.crt.white_point = 110
+    img = _img(3)
+    orc.modulate(img, field=0, frame=0)
+    ref = orc.demodulate(noise=5)
+
+    st = pipeline.crt_init(NTSC, 400, 300)
+    mon = MonitorParams(hue=jnp.int32(33), brightness=jnp.int32(10),
+                        contrast=jnp.int32(210), saturation=jnp.int32(18),
+                        black_point=jnp.int32(4), white_point=jnp.int32(110))
+    st = jax.jit(lambda s, im: pipeline.step(NTSC, s, im, field=0, frame=0,
+                                             noise=5, mon=mon))(st, jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(st.out), ref)
