@@ -49,12 +49,41 @@ def crt_init(cfg: SystemConfig, outw: int, outh: int,
 
 def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
              field=0, frame=0, hue=0, as_color=1, xoffset=0, yoffset=0,
-             black_point=0, white_point=100, raw: bool = False) -> CRTState:
-    """Encode one frame into the analog buffer (crt_modulate equivalent)."""
-    analog, ccf = _mod.modulate_rgb(
-        cfg, state.analog, img, field=field, frame=frame, hue=hue,
-        as_color=as_color, xoffset=xoffset, yoffset=yoffset,
-        black_point=black_point, white_point=white_point, raw=raw)
+             black_point=0, white_point=100, raw: bool = False,
+             dot_crawl_offset=0, do_aberration=0) -> CRTState:
+    """Encode one frame into the analog buffer (crt_modulate equivalent).
+    Dispatches to the per-system encoder family like the reference's
+    CRT_SYSTEM compile switch (crt_core.h:38-59)."""
+    if cfg.name == "NTSCVHS":
+        analog, ccf, randstate = _mod.modulate_vhs(
+            cfg, state.analog, img, state.randstate, field=field, frame=frame,
+            hue=hue, as_color=as_color, xoffset=xoffset, yoffset=yoffset,
+            black_point=black_point, white_point=white_point, raw=raw,
+            do_aberration=do_aberration)
+        # reset hsync each frame so only the bottom warps (crt_ntscvhs.c:258)
+        return state._replace(analog=analog, ccf=ccf, randstate=randstate,
+                              hsync=jnp.zeros((), jnp.int32))
+    if cfg.name == "NES":
+        analog, ccf = _mod.modulate_nes(
+            cfg, state.analog, img, hue=hue, dot_crawl_offset=dot_crawl_offset,
+            xoffset=xoffset, yoffset=yoffset,
+            black_point=black_point, white_point=white_point)
+    elif cfg.name == "NESRGB":
+        analog, ccf = _mod.modulate_nesrgb(
+            cfg, state.analog, img, hue=hue, dot_crawl_offset=dot_crawl_offset,
+            xoffset=xoffset, yoffset=yoffset,
+            black_point=black_point, white_point=white_point)
+    elif cfg.cc_vper > 1:  # SNES / TEMPLATE / PV1K
+        analog, ccf = _mod.modulate_vper(
+            cfg, state.analog, img, field=field, frame=frame, hue=hue,
+            as_color=as_color, xoffset=xoffset, yoffset=yoffset,
+            black_point=black_point, white_point=white_point, raw=raw,
+            dot_crawl_offset=dot_crawl_offset)
+    else:  # NTSC
+        analog, ccf = _mod.modulate_rgb(
+            cfg, state.analog, img, field=field, frame=frame, hue=hue,
+            as_color=as_color, xoffset=xoffset, yoffset=yoffset,
+            black_point=black_point, white_point=white_point, raw=raw)
     return state._replace(analog=analog, ccf=ccf)
 
 
@@ -73,7 +102,8 @@ def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
 def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
          field=0, frame=0, hue=0, noise=0,
          mon: Optional[MonitorParams] = None,
-         as_color=1, raw: bool = False) -> CRTState:
+         as_color=1, raw: bool = False,
+         dot_crawl_offset=0, do_aberration=0) -> CRTState:
     """modulate + demodulate: one full frame through the composite path.
 
     black_point/white_point live in the monitor state in the reference
@@ -84,5 +114,6 @@ def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
     state = modulate(cfg, state, img, field=field, frame=frame, hue=hue,
                      as_color=as_color,
                      black_point=mon.black_point, white_point=mon.white_point,
-                     raw=raw)
+                     raw=raw, dot_crawl_offset=dot_crawl_offset,
+                     do_aberration=do_aberration)
     return demodulate(cfg, state, noise=noise, mon=mon)

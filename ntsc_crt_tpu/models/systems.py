@@ -91,11 +91,23 @@ class SystemConfig:
     vhs_noise: bool = False
     vhs_mode: int = VHS_SP
 
+    # degrees the chroma phase advances per line within the vertical period
+    # (SNES/NESRGB/NES: 360/VPER=120, crt_snes.c:172; TEMPLATE: 180;
+    #  PV1K: 360*2/VPER=144, crt_pv1k.c:168)
+    vert_step: int = 0
+
     # sync/equalizing line regions of the field skeleton (SNES/template style;
     # the NTSC/VHS/PV1K skeletons hard-code equivalent ranges)
     equ_a: tuple = (0, 3)     # equalizing pulses, inclusive
     sync_region: tuple = (4, 6)
     equ_b: tuple = (7, 9)
+
+    # SNES emits the same vsync pattern for both fields (crt_snes.c:216-218);
+    # every other interlaced system switches serration offsets on odd fields
+    vsync_field_dependent: bool = True
+    # whether the encoder applies the interlace half-line source offset
+    # (crt_ntsc.c:258; SNES and the NES family do not)
+    interlace_offset: bool = True
 
     # ---- derived helpers ------------------------------------------------
     @property
@@ -204,6 +216,9 @@ SNES = SystemConfig(
     white_level=100, burst_level=20, black_level=7, blank_level=0, sync_level=-40,
     chroma_pattern=CHROMA_SAWTOOTH, hue_offset=210, q_offset=-90,
     progressive=False,
+    vert_step=120,
+    equ_a=(0, 2), sync_region=(3, 6), equ_b=(7, 9),
+    vsync_field_dependent=False, interlace_offset=False,
 )
 
 NES = SystemConfig(
@@ -218,6 +233,8 @@ NES = SystemConfig(
     white_level=110, burst_level=30, black_level=0, blank_level=0, sync_level=-37,
     chroma_pattern=CHROMA_SAWTOOTH, hue_offset=0, q_offset=-90,
     progressive=True,
+    vert_step=120,
+    interlace_offset=False,
 )
 
 NESRGB = SystemConfig(
@@ -232,6 +249,8 @@ NESRGB = SystemConfig(
     white_level=100, burst_level=30, black_level=0, blank_level=0, sync_level=-37,
     chroma_pattern=CHROMA_SAWTOOTH, hue_offset=0, q_offset=-90,
     progressive=True,
+    vert_step=120,
+    interlace_offset=False,
 )
 
 # PV1K timing: DOT_ns=223, DOTx4=892 (crt_pv1k.h:64-75)
@@ -245,8 +264,10 @@ PV1K = SystemConfig(
     l_freq=1431818, y_freq=420000, i_freq=150000, q_freq=55000,
     do_bandlimiting=True,
     white_level=100, burst_level=20, black_level=7, blank_level=0, sync_level=-40,
-    chroma_pattern=CHROMA_VERTICAL, hue_offset=0, q_offset=-90,
+    chroma_pattern=CHROMA_VERTICAL, hue_offset=0, q_offset=90,
     progressive=False,
+    vert_step=144,
+    equ_a=(7, 9), sync_region=(258, 260), equ_b=(7, 9),
 )
 
 TEMPLATE = SystemConfig(
@@ -261,6 +282,8 @@ TEMPLATE = SystemConfig(
     white_level=100, burst_level=20, black_level=7, blank_level=0, sync_level=-40,
     chroma_pattern=CHROMA_CHECKERED, hue_offset=-60, q_offset=-90,
     progressive=False,
+    vert_step=180,
+    equ_a=(0, 2), sync_region=(3, 6), equ_b=(7, 9),
 )
 
 SYSTEMS = {
