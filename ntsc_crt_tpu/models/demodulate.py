@@ -63,11 +63,66 @@ def _eq_coefs(cfg: SystemConfig):
 
 
 def _inject_noise(cfg: SystemConfig, analog_flat, rn, noise):
-    """crt_core.c:346-367 (plain path; VHS tracking noise handled in the
-    VHS decode wrapper)."""
+    """crt_core.c:346-367 (plain path; VHS tracking noise handled in
+    _inject_noise_vhs)."""
     byte, rn_out = lcg.noise_bytes(rn, cfg.input_size)
     s = analog_flat + ((byte * i32(noise)) >> 8)
     return jnp.clip(s, -127, 127), rn_out
+
+
+def _inject_noise_vhs(cfg: SystemConfig, analog_flat, randstate, noise):
+    """VHS tracking-noise variant (crt_core.c:343-366 under CRT_VHS_NOISE):
+    a sinusoidal noise band wobbles over the last ~16 lines, driven by the
+    spec'd crt_rand (see ops/lcg.py).
+
+    The rand() call count per sample is data-dependent (the band's lower-edge
+    rand() only fires when the upper-edge test passes, via C's && short
+    circuit).  The band tests can only pass for samples in the last 25 lines,
+    so the stream is split: a closed-form parallel prefix (exactly 2 calls
+    per sample) covering ~95% of the field, and a short lax.scan tail
+    carrying the rand state.  Returns (inp, randstate', rn' = last rand value
+    — crt_core.c:359,367 stores the last rand VALUE in v->rn).
+    """
+    N = cfg.input_size
+    H = cfg.hres
+    noise = i32(noise)
+
+    # call 0: band center line (crt_core.c:344)
+    head, st1 = lcg.crt_rand_stream(randstate, 1)
+    band_line = (crem(head[0], 8) - 4) + 14
+
+    n0 = N - 25 * H + 1          # samples 0..n0-1 cannot hit the band test
+    # region A: calls 1..2*n0 after the head call; sample i uses calls
+    # (2i+1, 2i+2) of the post-head stream
+    streamA = lcg.lcg_stream(st1, 2 * n0, lcg.RAND_A, lcg.RAND_B)
+    rnA = lcg.crt_rand_out(streamA[0::2])                       # (n0,)
+    sA = analog_flat[:n0] + ((((rnA >> 16) & 0xFF) - 0x7F) * noise >> 8)
+    stA = jax.lax.bitcast_convert_type(streamA[-1], jnp.int32)
+
+    # region B: sequential scan over the last 25 lines
+    idxB = jnp.arange(n0, N, dtype=jnp.int32)
+
+    def stepB(carry, i):
+        st = carry
+        st = lcg.crt_rand_step(st)
+        rn = lcg.crt_rand_out(jax.lax.bitcast_convert_type(st, jnp.uint32))
+        st = lcg.crt_rand_step(st)
+        rB = lcg.crt_rand_out(jax.lax.bitcast_convert_type(st, jnp.uint32))
+        cond1 = i > (N - H * (16 + (crem(rB, 20) - 10)))
+        st3 = lcg.crt_rand_step(st)
+        rC = lcg.crt_rand_out(jax.lax.bitcast_convert_type(st3, jnp.uint32))
+        st = jnp.where(cond1, st3, st)          # short-circuit &&
+        cond2 = i < (N - H * (5 + (crem(rC, 8) - 4)))
+        in_band = cond1 & cond2
+        ln = cdiv(i * band_line, H)
+        _, cs = sincos14(cdiv(ln * 8192, 180))
+        nn = jnp.where(in_band, cs >> 8, noise)
+        s = jnp.take(analog_flat, i) + ((((rn >> 16) & 0xFF) - 0x7F) * nn >> 8)
+        return st, (s, rn)
+
+    st_final, (sB, rnB) = jax.lax.scan(stepB, stA, idxB)
+    s = jnp.concatenate([sA, sB])
+    return jnp.clip(s, -127, 127), st_final, rnB[-1]
 
 
 def _find_vsync(cfg: SystemConfig, inp, vsync):
@@ -185,10 +240,11 @@ def demodulate_core(
     noise,
     mon: MonitorParams,
     *,
+    randstate: jax.Array = None,
     v_fac: int = 0,
 ) -> tuple[jax.Array, dict]:
     """One decode pass.  Returns (rgb uint8 (outh,outw,3), new state dict
-    with keys hsync/vsync/ccf/rn/inp)."""
+    with keys hsync/vsync/ccf/rn/randstate/inp)."""
     outh, outw = out_prev.shape[0], out_prev.shape[1]
     CC = cfg.cc_samples
 
@@ -199,7 +255,11 @@ def demodulate_core(
     hue_sn, hue_cs = sn >> 11, cs >> 11                        # crt_core.c:318-320
 
     analog_flat = jnp.asarray(analog, jnp.int32).reshape(-1)
-    inp_flat, rn_new = _inject_noise(cfg, analog_flat, rn, noise)
+    if cfg.vhs_noise:
+        inp_flat, randstate, rn_new = _inject_noise_vhs(
+            cfg, analog_flat, randstate, noise)
+    else:
+        inp_flat, rn_new = _inject_noise(cfg, analog_flat, rn, noise)
     inp2d = inp_flat.reshape(cfg.vres, cfg.hres)
 
     vsync_new, field = _find_vsync(cfg, inp2d, vsync)
@@ -227,7 +287,11 @@ def demodulate_core(
     L = cfg.lines
     AV = cfg.av_len
 
-    # gather each line's active-video samples (wraps like flat C indexing)
+    # Gather each line's active-video samples.  When a line's source position
+    # lands on the final analog line, pos + AV_LEN runs past the signal
+    # buffer; the reference reads out of bounds there (UB — it picks up
+    # adjacent struct fields, reachable e.g. under VHS aberration).  We define
+    # the semantics as wrap-around modulo the buffer instead.
     gidx = pos_l[:, None] + jnp.arange(AV, dtype=jnp.int32)[None, :]
     sig = jnp.take(inp_flat, crem(gidx, cfg.input_size))        # (L, AV)
 
@@ -282,6 +346,7 @@ def demodulate_core(
                           i32(mon.blend), i32(mon.scanlines), outh)
 
     state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new, rn=rn_new,
+                 randstate=randstate,
                  inp=inp_flat.astype(jnp.int8).reshape(cfg.vres, cfg.hres))
     return out_new, state
 

@@ -94,9 +94,13 @@ def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
     mon = mon or MonitorParams()
     out, new = _dem.demodulate_core(
         cfg, state.analog, state.out, state.hsync, state.vsync, state.ccf,
-        state.rn, noise, mon, v_fac=v_fac)
+        state.rn, noise, mon, randstate=state.randstate, v_fac=v_fac)
+    randstate = new["randstate"]
+    if randstate is None:
+        randstate = state.randstate
     return state._replace(out=out, ccf=new["ccf"], hsync=new["hsync"],
-                          vsync=new["vsync"], rn=new["rn"])
+                          vsync=new["vsync"], rn=new["rn"],
+                          randstate=randstate)
 
 
 def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,

@@ -36,9 +36,10 @@ LCG_B = 140327895
 # The framework-defined deterministic replacement for libc rand() used by the
 # VHS tracking-noise path (crt_core.c:343-357 calls rand(), which is not
 # reproducible cross-platform).  Both this framework and the compiled test
-# oracle (see oracle/ — built with -Drand=crt_rand) use this exact generator:
-# the C-standard sample rand: state = state*1103515245 + 12345;
-# return (state >> 16) & 0x7fff.
+# oracle (see oracle/crt_rand_shim.c — built with -Drand=crt_oracle_rand) use
+# this exact generator: state = state*1103515245 + 12345 (mod 2^32);
+# output = state >> 1 (31 bits, like glibc's range — the VHS noise byte
+# reads bits 16..23 of the output, crt_core.c:362).
 RAND_A = 1103515245
 RAND_B = 12345
 
@@ -79,12 +80,22 @@ def noise_bytes(rn0: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     return byte, rn_out
 
 
+def crt_rand_out(state: jax.Array) -> jax.Array:
+    """crt_rand output function: 31-bit value from a uint32 state."""
+    return (state >> 1).astype(jnp.int32)
+
+
+def crt_rand_step(state: jax.Array) -> jax.Array:
+    """One crt_rand state transition on int32 state (wrapping)."""
+    return jnp.asarray(state, jnp.int32) * RAND_A + RAND_B
+
+
 def crt_rand_stream(state0: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
     """n sequential crt_rand() values (the spec'd libc-rand replacement).
 
-    Returns (values int32 (n,) in [0, 0x7fff], final state int32).
+    Returns (values int32 (n,) in [0, 2^31), final state int32).
     """
     stream = lcg_stream(state0, n, RAND_A, RAND_B)
-    vals = ((stream >> 16) & 0x7FFF).astype(jnp.int32)
+    vals = crt_rand_out(stream)
     state_out = jax.lax.bitcast_convert_type(stream[-1], jnp.int32)
     return vals, state_out

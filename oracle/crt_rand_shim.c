@@ -12,7 +12,10 @@ static unsigned int crt_oracle_rand_state = 1u;
 int crt_oracle_rand(void)
 {
     crt_oracle_rand_state = crt_oracle_rand_state * 1103515245u + 12345u;
-    return (int)((crt_oracle_rand_state >> 16) & 0x7fff);
+    /* 31-bit output: the VHS noise path reads bits 16..23 of the return
+     * value (crt_core.c:362), so the output must span the full 31-bit
+     * range like glibc's rand, not the C-standard sample's 15 bits. */
+    return (int)(crt_oracle_rand_state >> 1);
 }
 
 void crt_oracle_srand(unsigned int seed)

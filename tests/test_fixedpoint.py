@@ -67,7 +67,7 @@ def test_crt_rand_matches_shim_spec():
     state = 1
     for i in range(100):
         state = (state * lcg.RAND_A + lcg.RAND_B) & 0xFFFFFFFF
-        assert int(vals[i]) == (state >> 16) & 0x7FFF
+        assert int(vals[i]) == state >> 1
 
 
 def test_c_semantics_helpers():

@@ -1,0 +1,60 @@
+"""VHS system parity: SP-mode bandwidths, head-switch aberration (sync-tip
+loss at frame bottom), tracking-noise band, hsync reset per frame, zeroed ccf
+export — all against the oracle built with the spec'd crt_rand."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ntsc_crt_tpu.models.systems import NTSCVHS
+from ntsc_crt_tpu.models import pipeline
+from oracle import Oracle
+
+
+def _img(seed, w=320, h=240):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("aberration", [0, 1])
+def test_vhs_roundtrip(aberration):
+    seed = 987654
+    orc = Oracle("NTSCVHS", outw=640, outh=480)
+    orc.srand(seed)
+
+    st = pipeline.crt_init(NTSCVHS, 640, 480, rand_seed=seed)
+    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
+        NTSCVHS, s, im, field=fi, frame=fr, noise=20,
+        do_aberration=aberration))
+
+    img = _img(4)
+    field = frame = 0
+    for n in range(3):
+        orc.modulate(img, field=field, frame=frame,
+                     do_aberration=aberration)
+        ref = orc.demodulate(noise=20)
+        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
+                                      err_msg=f"frame {n} analog")
+        got = np.asarray(st.out)
+        # Exclude output rows sourced from the final analog line: there the
+        # reference reads past its signal buffer (UB, crt_core.c:511-550 with
+        # pos + AV_LEN > CRT_INPUT_SIZE); our gathers wrap instead (see
+        # demodulate.py).  Everything else must match bit-for-bit.
+        cfg = NTSCVHS
+        vs = orc.crt.vsync
+        ok = np.ones(480, bool)
+        for line in range(cfg.top, cfg.bot):
+            if (line + vs + 3) % cfg.vres == cfg.vres - 1:
+                beg = (line - cfg.top) * 480 // cfg.lines
+                ok[max(0, beg):beg + 4] = False
+        np.testing.assert_array_equal(got[ok], ref[ok],
+                                      err_msg=f"frame {n} out")
+        assert (got != ref).mean() < 1e-4
+        np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf)
+        assert int(st.hsync) == orc.crt.hsync, f"frame {n} hsync"
+        assert int(st.rn) == orc.crt.rn, f"frame {n} rn"
+        field ^= 1
+        if n == 1:
+            frame ^= 1
