@@ -24,11 +24,23 @@ All arithmetic is int32 with two's-complement wrap, matching the reference's
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _use_pallas() -> bool:
+    """Route the filter recurrences through the Pallas TPU kernels unless
+    running on CPU (tests) or explicitly disabled."""
+    if os.environ.get("NTSC_CRT_FORCE_SCAN"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 from ntsc_crt_tpu.ops.fixedpoint import (
     EXP_ONE,
@@ -85,6 +97,12 @@ def iir_lowpass(s: jax.Array, c) -> jax.Array:
     """
     s = jnp.asarray(s, jnp.int32)
     c = jnp.asarray(c, jnp.int32)
+    if _use_pallas():
+        from ntsc_crt_tpu.ops.pallas import filters_pallas as fp
+        lead = s.shape[:-1]
+        rows = s.reshape(-1, s.shape[-1])
+        crow = jnp.broadcast_to(c, lead).reshape(-1)
+        return fp.iir_lowpass_rows(rows, crow).reshape(s.shape)
     xs = jnp.moveaxis(s, -1, 0)
 
     def step(h, sx):
@@ -114,6 +132,13 @@ def eq_threeband(s: jax.Array, lf, hf, g_lo, g_mid, g_hi) -> jax.Array:
     hf = jnp.asarray(hf, jnp.int32)
     g = (jnp.asarray(g_lo, jnp.int32), jnp.asarray(g_mid, jnp.int32),
          jnp.asarray(g_hi, jnp.int32))
+    if _use_pallas():
+        from ntsc_crt_tpu.ops.pallas import filters_pallas as fp
+        lead = s.shape[:-1]
+        rows = s.reshape(-1, s.shape[-1])
+        cs = [jnp.broadcast_to(x, lead).reshape(-1)
+              for x in (lf, hf, g[0], g[1], g[2])]
+        return fp.eq_threeband_rows(rows, *cs).reshape(s.shape)
     xs = jnp.moveaxis(s, -1, 0)
     zero = jnp.zeros_like(xs[0])
 

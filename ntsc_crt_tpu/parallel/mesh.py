@@ -1,0 +1,119 @@
+"""Device-mesh parallelism for frame pipelines.
+
+The reference is single-threaded C (SURVEY.md §2: no parallel components
+exist); the TPU-native scaling story is new design:
+
+* **data axis** — frames are embarrassingly parallel apart from the small
+  cross-frame state pytree (sync estimates, ccf EMA, PRNG streams, blend
+  buffer).  We batch a CRTState per frame-slot and shard the batch over the
+  `data` mesh axis; collectives are never needed inside a step.
+* **spatial axis** — within one frame the heavy phases (per-line EQ scans,
+  scan conversion) are independent across scanlines; sharding constraints on
+  the line dimension let XLA split them over the `spatial` axis, with any
+  halo exchange (sync-window gathers) inserted automatically as ICI
+  collectives.
+
+State-handling modes for video (SURVEY.md §5):
+  - `independent` (default): each batch slot carries its own CRTState — the
+    per-slot streams are exact CRT emulations of interleaved sub-videos.
+  - `pipelined`: lax.scan over frames within a slot preserves the reference's
+    strict frame-to-frame semantics (see models/video.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ntsc_crt_tpu.models import pipeline
+from ntsc_crt_tpu.models.demodulate import MonitorParams
+from ntsc_crt_tpu.models.systems import SystemConfig
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
+              devices=None) -> Mesh:
+    """Mesh over (data, spatial).  Defaults to all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_spatial
+    assert n_data * n_spatial == len(devices), \
+        f"{n_data}x{n_spatial} != {len(devices)} devices"
+    auto = (jax.sharding.AxisType.Auto,) * 2
+    return jax.make_mesh((n_data, n_spatial), (DATA_AXIS, SPATIAL_AXIS),
+                         devices=devices, axis_types=auto)
+
+
+def init_batch(cfg: SystemConfig, batch: int, outw: int, outh: int,
+               mesh: Optional[Mesh] = None) -> pipeline.CRTState:
+    """A batch of per-slot CRT states, optionally sharded over `data`."""
+    one = pipeline.crt_init(cfg, outw, outh)
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+    # decorrelate noise streams across slots (each slot is its own CRT)
+    states = states._replace(
+        rn=jnp.arange(194, 194 + batch, dtype=jnp.int32),
+        randstate=jnp.arange(1, 1 + batch, dtype=jnp.int32))
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        states = jax.tree.map(lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))),
+            states)
+        del sh
+    return states
+
+
+def make_batched_step(cfg: SystemConfig, *, noise=0,
+                      mon: Optional[MonitorParams] = None,
+                      donate: bool = True):
+    """vmap of the full modulate+demodulate step over a frame batch.
+
+    Returns jitted fn(states, imgs, fields, frames, dcos) -> states.
+    imgs: uint8 (B, h, w, 3) or uint16 (B, h, w) for NES.
+    """
+    mon = mon or MonitorParams()
+
+    def one(state, img, field, frame, dco):
+        return pipeline.step(cfg, state, img, field=field, frame=frame,
+                             noise=noise, mon=mon, dot_crawl_offset=dco)
+
+    fn = jax.vmap(one)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_step(cfg: SystemConfig, mesh: Mesh, *, noise=0,
+                      mon: Optional[MonitorParams] = None):
+    """Batched step with explicit data-axis sharding over the mesh.
+
+    Frames (and their states) are sharded over `data`; each device runs its
+    sub-batch locally.  With a non-trivial `spatial` axis, XLA additionally
+    splits the per-frame line-parallel phases via the sharding constraints
+    the decode path places on line-major intermediates.
+    """
+    mon = mon or MonitorParams()
+
+    def one(state, img, field, frame, dco):
+        return pipeline.step(cfg, state, img, field=field, frame=frame,
+                             noise=noise, mon=mon, dot_crawl_offset=dco)
+
+    fn = jax.vmap(one)
+
+    def batch_spec(x):
+        return NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+
+    def sharded(states, imgs, fields, frames, dcos):
+        states = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)),
+            states)
+        imgs = jax.lax.with_sharding_constraint(imgs, batch_spec(imgs))
+        out = fn(states, imgs, fields, frames, dcos)
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)), out)
+
+    return jax.jit(sharded, donate_argnums=(0,))

@@ -9,14 +9,14 @@ import os
 import sys
 from pathlib import Path
 
-# force CPU even if the shell presets JAX_PLATFORMS (e.g. the axon TPU
-# tunnel) — tests need the virtual 8-device mesh, and parity math is
-# platform-independent int32
+# force CPU even if the environment registers a TPU plugin (the axon
+# sitecustomize overrides the JAX_PLATFORMS env var at import) — tests need
+# the virtual 8-device mesh, and parity math is platform-independent int32
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
