@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ntsc_crt_tpu.models.systems import SystemConfig
-from ntsc_crt_tpu.ops import filters, lcg
+from ntsc_crt_tpu.ops import fastpath, filters, lcg
 from ntsc_crt_tpu.ops.fixedpoint import cdiv, i32, posmod, crem, sincos14
 
 
@@ -174,7 +174,7 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
 
         xpos = posmod(cfg.av_beg + hsync - 3, cfg.hres)        # xnudge=-3
         ypos = posmod(line + vsync + 3, cfg.vres)              # ynudge=+3
-        pos = xpos + ypos * cfg.hres
+        pos = xpos
 
         # color carrier convergence EMA over the burst (crt_core.c:456-467)
         vper_row = crem(ypos, cfg.cc_vper)  # ypos >= 0 so % == posmod
@@ -225,7 +225,7 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
             out_w = (dci, dcq)
         return (hsync, ccf), (pos, beg, end, active) + out_w
 
-    (hsync_f, ccf_f), outs = lax.scan(step, (hsync0, ccf0), lines)
+    (hsync_f, ccf_f), outs = lax.scan(step, (hsync0, ccf0), lines, unroll=8)
     return hsync_f, ccf_f, outs
 
 
@@ -272,9 +272,9 @@ def demodulate_core(
         hue_sn, hue_cs, i32(mon.saturation), outh, v_fac, field_px)
 
     if CC == 4:
-        pos_l, beg_l, end_l, active_l, wave_l = outs           # (L,), wave (L,4)
+        xpos_l, beg_l, end_l, active_l, wave_l = outs          # (L,), wave (L,4)
     else:
-        pos_l, beg_l, end_l, active_l, dci_l, dcq_l = outs
+        xpos_l, beg_l, end_l, active_l, dci_l, dcq_l = outs
         # wave tables rotated by hue (crt_core.c:499-509), per line
         kk = jnp.arange(CC, dtype=jnp.int32)
         base_ang = crem(mon.hue, 360) + kk * (360 // CC)       # (CC,)
@@ -286,22 +286,29 @@ def demodulate_core(
 
     L = cfg.lines
     AV = cfg.av_len
+    H, V = cfg.hres, cfg.vres
 
-    # Gather each line's active-video samples.  When a line's source position
-    # lands on the final analog line, pos + AV_LEN runs past the signal
-    # buffer; the reference reads out of bounds there (UB — it picks up
-    # adjacent struct fields, reachable e.g. under VHS aberration).  We define
-    # the semantics as wrap-around modulo the buffer instead.
-    gidx = pos_l[:, None] + jnp.arange(AV, dtype=jnp.int32)[None, :]
-    sig = jnp.take(inp_flat, crem(gidx, cfg.input_size))        # (L, AV)
+    # Extract each line's active-video window sig[l, i] = inp[pos_l + i]
+    # without gathers (ops/fastpath.py): the row component of pos_l is a
+    # scalar roll by (vsync + 3), the column component a per-line shift by
+    # xpos_l realized as a one-hot bf16 cross-correlation on the MXU.
+    # Reads past a row continue into the next row like the reference's flat
+    # indexing; reads past the final line wrap to the top (the reference
+    # reads out of bounds there — UB — e.g. under VHS aberration).
+    inp2d_i8 = inp_flat.astype(jnp.int8).reshape(V, H)
+    doubled = jnp.concatenate([inp2d_i8, inp2d_i8], axis=0)     # (2V, H)
+    start = posmod(cfg.top + vsync_new + 3, V)
+    rolled = lax.dynamic_slice(doubled, (start, 0), (L + 1, H)) # rows ypos_l
+    rows_ext = jnp.concatenate([rolled[:L], rolled[1:L + 1]], axis=1)
+    sig = fastpath.shift_rows(jnp.asarray(rows_ext, jnp.int32),
+                              xpos_l, AV)                       # (L, AV)
 
-    ii = jnp.arange(AV, dtype=jnp.int32)
     if CC == 4:
-        wv_i = jnp.take(wave_l, ii & 3, axis=1)                 # (L, AV)
-        wv_q = jnp.take(wave_l, (ii + 3) & 3, axis=1)
+        wv_i = fastpath.tile_period(wave_l, AV, 0)              # (L, AV)
+        wv_q = fastpath.tile_period(wave_l, AV, 3)
     else:
-        wv_i = jnp.take(waveI_l, crem(ii, CC), axis=1)
-        wv_q = jnp.take(waveQ_l, crem(ii, CC), axis=1)
+        wv_i = fastpath.tile_period(waveI_l, AV, 0)
+        wv_q = fastpath.tile_period(waveQ_l, AV, 0)
 
     y_in = sig + bright
     i_in = (sig * wv_i) >> 9
@@ -320,21 +327,10 @@ def demodulate_core(
     oq = eqd[:, 2] >> 3
 
     # ---- scan conversion (crt_core.c:555-611) ------------------------------
-    dx = ((AV - 1) << 12) // outw                               # static
-    p = np.arange(outw, dtype=np.int32)
-    posx = jnp.asarray(p * dx)
-    s_idx = posx >> 12
-    R = posx & 0xFFF
-    Lw = 0xFFF - R
-
-    def lerp(v, sh):
-        a = jnp.take(v, s_idx, axis=1)
-        b = jnp.take(v, s_idx + 1, axis=1)
-        return ((a * Lw[None, :]) >> sh) + ((b * R[None, :]) >> sh)
-
-    yv = lerp(oy, 2)
-    iv = lerp(oi, 14)
-    qv = lerp(oq, 14)
+    # fixed-point lerp as exact int8-limb MXU matmuls (ops/fastpath.py)
+    yv = fastpath.lerp_resample(oy, outw, 2)
+    iv = fastpath.lerp_resample(oi, outw, 14)
+    qv = fastpath.lerp_resample(oq, outw, 14)
 
     contrast = i32(mon.contrast)
     r = (((yv + 3879 * iv + 2556 * qv) >> 12) * contrast) >> 8
@@ -377,8 +373,10 @@ def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
 
     old = jnp.asarray(out_prev, jnp.int32)
     beg_sel = jnp.take(beg_l, lsel)                             # source row's beg
-    old_at_beg = jnp.take(old, jnp.clip(beg_sel, 0, outh - 1), axis=0)
-    new_rows = jnp.take(rgb, lsel, axis=0)                      # (outh, outw, 3)
+    old_at_beg = fastpath.select_rows(out_prev,
+                                      jnp.clip(beg_sel, 0, outh - 1))
+    new_rows = fastpath.select_rows(jnp.clip(rgb, 0, 255).astype(jnp.uint8),
+                                    lsel)                       # (outh, outw, 3)
     blended = (new_rows >> 1) + (old_at_beg >> 1)               # crt_core.c:608
     content = jnp.where(blend != 0, blended, new_rows)
     out = jnp.where(exists[:, None, None], content, old)

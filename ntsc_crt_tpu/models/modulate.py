@@ -34,7 +34,7 @@ from ntsc_crt_tpu.models.systems import (
     SystemConfig,
     CHROMA_CHECKERED,
 )
-from ntsc_crt_tpu.ops import filters
+from ntsc_crt_tpu.ops import fastpath, filters
 from ntsc_crt_tpu.ops.fixedpoint import cdiv, crem, i32, posmod, sincos14
 
 
@@ -158,7 +158,7 @@ def modulate_rgb(
     assert cfg.kind == "rgb" and cfg.cc_samples == 4, "NTSC-family encoder"
     H, V = cfg.hres, cfg.vres
     h, w = img.shape[0], img.shape[1]
-    img = jnp.asarray(img, jnp.int32)
+    img_u8 = jnp.asarray(img, jnp.uint8)
     field = i32(field) & 1
     frame = i32(frame) & 1
     hue = i32(hue)
@@ -224,10 +224,11 @@ def modulate_rgb(
     # the last valid row — identical whenever the C read is defined.
     sy = jnp.minimum(sy, h - 1)
     x_idx = np.arange(destw, dtype=np.int32)
-    sx = jnp.asarray((x_idx * w) // destw)
+    sx = (x_idx * w) // destw
 
-    rows = jnp.take(img, sy, axis=0)                          # (desth, w, 3)
-    pix = jnp.take(rows, sx, axis=1)                          # (desth, destw, 3)
+    # nearest-neighbor resample as one-hot MXU matmuls (ops/fastpath.py)
+    rows = fastpath.select_rows(img_u8, sy)                   # (desth, w, 3)
+    pix = fastpath.select_cols_static(rows.astype(jnp.uint8), sx)
     rA, gA, bA = pix[..., 0], pix[..., 1], pix[..., 2]
 
     # RGB -> YIQ (crt_ntsc.c:307-310)
@@ -330,7 +331,7 @@ def modulate_vper(
     assert cfg.kind == "rgb"
     H, V, CC, VP = cfg.hres, cfg.vres, cfg.cc_samples, cfg.cc_vper
     h, w = img.shape[0], img.shape[1]
-    img = jnp.asarray(img, jnp.int32)
+    img_u8 = jnp.asarray(img, jnp.uint8)
     field = i32(field) & 1
     hue = i32(hue)
     dco = i32(dot_crawl_offset)
@@ -388,9 +389,10 @@ def modulate_vper(
     sy = (y_idx * h) // desth + field_offset
     sy = jnp.minimum(sy, h - 1)
     x_idx = np.arange(destw, dtype=np.int32)
-    sx = jnp.asarray((x_idx * w) // destw)
+    sx = (x_idx * w) // destw
 
-    pix = jnp.take(jnp.take(img, sy, axis=0), sx, axis=1)
+    rows = fastpath.select_rows(img_u8, sy)
+    pix = fastpath.select_cols_static(rows.astype(jnp.uint8), sx)
     rA, gA, bA = pix[..., 0], pix[..., 1], pix[..., 2]
     fy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
     fi = (39059 * rA - 18022 * gA - 21103 * bA) >> 14
@@ -438,7 +440,7 @@ def modulate_nesrgb(
     carrier tables exclude hue (burst angle hue+90+n+33), no IIR."""
     H, V, CC, VP = cfg.hres, cfg.vres, cfg.cc_samples, cfg.cc_vper
     h, w = img.shape[0], img.shape[1]
-    img = jnp.asarray(img, jnp.int32)
+    img_u8 = jnp.asarray(img, jnp.uint8)
     hue = i32(hue)
     dco = i32(dot_crawl_offset)
 
@@ -476,8 +478,9 @@ def modulate_nesrgb(
 
     sy = jnp.clip((y_idx * h) // desth, 0, h - 1)
     x_idx = np.arange(destw, dtype=np.int32)
-    sx = jnp.asarray((x_idx * w) // destw)
-    pix = jnp.take(jnp.take(img, sy, axis=0), sx, axis=1)
+    sx = (x_idx * w) // destw
+    rows = fastpath.select_rows(img_u8, sy)
+    pix = fastpath.select_cols_static(rows.astype(jnp.uint8), sx)
     rA, gA, bA = pix[..., 0], pix[..., 1], pix[..., 2]
     fy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
     fi = (39059 * rA - 18022 * gA - 21103 * bA) >> 14

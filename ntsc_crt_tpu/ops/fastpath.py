@@ -1,0 +1,147 @@
+"""Gather-free TPU formulations of the demodulator's hot data movements.
+
+TPU gathers execute at ~100 elements/us — catastrophic for the decoder's
+per-line shifted reads and resampling.  Every routine here replaces a gather
+with MXU work or static slicing, *bit-exactly*:
+
+* per-row circular shift  -> depthwise cross-correlation with a one-hot
+  kernel in bfloat16 (signal values |v| <= 127 and one-hot weights are both
+  exact in bf16; each output sums exactly one nonzero product).
+* batched row selection   -> one-hot bf16 matmul (uint8 pixel values <= 255
+  are bf16-exact).
+* periodic wave indexing  -> tiling, no indexing at all.
+
+These run on any backend (they are plain XLA ops), so CPU parity tests cover
+them directly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _mm_dtype():
+    """bf16 feeds the MXU at full rate on TPU; CPU's dot thunk needs f32.
+    Both are exact here: every product has a {0,1} factor and |values| fit
+    the 8-bit bf16 mantissa (<= 256) where bf16 is used."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def shift_rows(ext: jax.Array, shifts: jax.Array, out_len: int) -> jax.Array:
+    """out[r, i] = ext[r, shifts[r] + i] for i < out_len, without a gather.
+
+    ext: int32/int8 (R, W) with W >= max(shifts) + out_len, |values| <= 255.
+    shifts: int32 (R,) in [0, W - out_len].
+    Implemented as a depthwise VALID cross-correlation with one-hot bf16
+    kernels — exact because every output picks exactly one input.
+    """
+    R, W = ext.shape
+    kw = W - out_len + 1
+    dt = _mm_dtype()
+    u = (jnp.arange(kw, dtype=jnp.int32)[None, :] == shifts[:, None])
+    x = ext.astype(dt)[None]                             # (1, R, W)
+    k = u.astype(dt)[:, None, :]                         # (R, 1, kw)
+    out = lax.conv_general_dilated(
+        x, k, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=R)
+    return out[0].astype(jnp.int32)                      # (R, out_len)
+
+
+def select_rows(data: jax.Array, idx: jax.Array) -> jax.Array:
+    """data[idx] for uint8/small-int data (N, ...) and traced idx (M,),
+    as a one-hot bf16 matmul (exact for values <= 255)."""
+    N = data.shape[0]
+    dt = _mm_dtype()
+    flat = data.reshape(N, -1).astype(dt)
+    onehot = (idx[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :])
+    out = jnp.dot(onehot.astype(dt), flat,
+                  preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32).reshape((idx.shape[0],) + data.shape[1:])
+
+
+def tile_period(vals: jax.Array, n: int, offset: int = 0) -> jax.Array:
+    """out[..., i] = vals[..., (i + offset) % P] for i < n via tiling —
+    replaces jnp.take with a periodic constant index."""
+    P = vals.shape[-1]
+    reps = -(-(n + offset) // P)
+    tiled = jnp.tile(vals, (1,) * (vals.ndim - 1) + (reps,))
+    return tiled[..., offset:offset + n]
+
+
+def lerp_resample_weights(av_len: int, outw: int):
+    """Static scan-conversion maps (crt_core.c:528-532, 555-570):
+    pixel p reads source samples s=pos>>12 and s+1 with 12-bit weights
+    L=0xfff-R, R=pos&0xfff, pos=p*dx, dx=((av_len-1)<<12)//outw."""
+    import numpy as np
+    dx = ((av_len - 1) << 12) // outw
+    pos = np.arange(outw, dtype=np.int64) * dx
+    s = (pos >> 12).astype(np.int32)
+    R = (pos & 0xFFF).astype(np.int32)
+    L = 0xFFF - R
+    return s, L, R
+
+
+def lerp_resample(vals: jax.Array, outw: int, shift: int) -> jax.Array:
+    """Exact ((a*L)>>sh) + ((b*R)>>sh) resampling as int8-limb MXU matmuls.
+
+    vals: int32 (..., av_len) with |vals| < 2^25.  The products a*L wrap in
+    int32 exactly like the reference's (yiqA->y * L) (crt_core.c:568-570).
+    Each value splits into four 7-bit limbs; one-hot weight matrices fold the
+    (gather at s / s+1) x (multiply by L/R) into a single int8 matmul per
+    limb batch — gathers never happen.
+    """
+    import numpy as np
+    av_len = vals.shape[-1]
+    s, L, R = lerp_resample_weights(av_len, outw)
+
+    WA = np.zeros((av_len, outw), np.int64)
+    WB = np.zeros((av_len, outw), np.int64)
+    WA[s, np.arange(outw)] = L
+    WB[np.minimum(s + 1, av_len - 1), np.arange(outw)] += R
+    W = np.concatenate([WA, WB], axis=1)              # (av, 2*outw)
+    # split 12-bit weights into two 6-bit limbs (int8-exact)
+    W_lo = (W & 0x3F).astype(np.int8)
+    W_hi = (W >> 6).astype(np.int8)
+
+    lead = vals.shape[:-1]
+    x = vals.reshape(-1, av_len)
+    # split values into four 7-bit limbs (sign carried by the top limb)
+    l0 = (x & 0x7F).astype(jnp.int8)
+    l1 = ((x >> 7) & 0x7F).astype(jnp.int8)
+    l2 = ((x >> 14) & 0x7F).astype(jnp.int8)
+    l3 = (x >> 21).astype(jnp.int8)                   # arithmetic: keeps sign
+    limbs = jnp.concatenate([l0, l1, l2, l3], axis=0)  # (4*Rc, av)
+
+    Wj = jnp.concatenate([jnp.asarray(W_lo), jnp.asarray(W_hi)], axis=1)
+    prod = jax.lax.dot_general(
+        limbs, Wj, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)             # (4*Rc, 4*outw)
+    Rc = x.shape[0]
+    p = prod.reshape(4, Rc, 2, 2 * outw)              # limb, row, wlimb, col
+    # recombine: value = sum limb_k << (7k); weight = lo + (hi << 6); wraps ok
+    acc = (p[0, :, 0] + (p[0, :, 1] << 6)
+           + ((p[1, :, 0] + (p[1, :, 1] << 6)) << 7)
+           + ((p[2, :, 0] + (p[2, :, 1] << 6)) << 14)
+           + ((p[3, :, 0] + (p[3, :, 1] << 6)) << 21))
+    termA = acc[:, :outw]
+    termB = acc[:, outw:]
+    out = (termA >> shift) + (termB >> shift)
+    return out.reshape(lead + (outw,))
+
+
+def select_cols_static(data: jax.Array, idx) -> jax.Array:
+    """data[..., idx, :] along axis -2 for a STATIC numpy index vector and
+    uint8-range values, as a one-hot bf16 matmul (values <= 255 exact)."""
+    import numpy as np
+    W = data.shape[-2]
+    onehot = np.zeros((W, len(idx)), np.float32)
+    onehot[np.asarray(idx), np.arange(len(idx))] = 1
+    dt = _mm_dtype()
+    oh = jnp.asarray(onehot, dt)
+    x = jnp.asarray(data, dt)
+    out = jnp.einsum("...wc,wd->...dc", x, oh,
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
