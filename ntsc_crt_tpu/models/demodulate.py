@@ -1,25 +1,29 @@
-"""Demodulator: sampled analog composite signal -> RGB, like a CRT would.
+"""Demodulator: sampled analog composite signals -> RGB, like a CRT would.
 
-System-generic, like the reference's crt_demodulate (crt_core.c:291-666).
-The TPU-native decomposition replaces the reference's data-dependent control
-flow with masked tensor reductions while keeping bit-exact integer results:
+System-generic, like the reference's crt_demodulate (crt_core.c:291-666),
+and **batch-first**: every tensor carries a leading frame-batch dim (no
+vmap), so the hot data movements keep their fast shapes — see
+ops/fastpath.py.  The TPU-native decomposition replaces the reference's
+data-dependent control flow with masked tensor reductions while keeping
+bit-exact integer results:
 
-1. **Noise injection** — the reference's serial LCG becomes one closed-form
-   parallel pass (ops/lcg.py).
+1. **Noise injection** — the serial LCG becomes one closed-form parallel
+   pass (ops/lcg.py), carried as int8.
 2. **VSYNC recovery** — the goto-on-threshold scan (crt_core.c:379-397)
-   becomes a cumulative sum over the candidate window plus a
-   first-below-threshold argmax, reproducing the same tie-breaking
-   (first line, then first sample; fall-through keeps the last candidate and
-   j == HRES so the odd-field test still matches).
-3. **Per-line sequential state** (hsync estimate chained line to line,
-   color-carrier convergence EMA `ccf`) — a cheap `lax.scan` over the ~240
-   active lines; each step is a 16-sample window reduction and a 10-step
-   integer EMA on cc_samples lanes.  The heavy per-sample work is hoisted out.
-4. **YIQ extraction + 3-band EQ** — x-serial, line-parallel (ops/filters.py).
-5. **Scan conversion** — fixed-point lerp, YIQ->RGB int matrix, blend and
-   scanline duplication as a pure gather/select over output rows ("last
-   writer wins" resolves the reference's sequential row writes exactly
-   whenever output height >= active lines; see _place_rows).
+   becomes a cumulative sum over the candidate rows (a one-hot matmul row
+   select) plus a first-below-threshold argmax with the reference's
+   tie-breaking (first line, then first sample; fall-through keeps the last
+   candidate and j == HRES so the odd-field test still matches).
+3. **Per-line sequential state** (hsync chained line to line, color-carrier
+   EMA `ccf`) — a lax.scan over the active lines, vectorized across the
+   batch inside each step.
+4. **Line extraction** — per-line shifted reads become a scalar row-roll
+   plus a grouped one-hot conv (MXU) over the flattened (batch x line) rows.
+5. **YIQ + 3-band EQ** — x-serial, row-parallel Pallas kernels
+   (ops/pallas/filters_pallas.py).
+6. **Scan conversion** — the fixed-point lerp is an exact int8-limb matmul;
+   blend and scanline duplication resolve as a "last writer wins" row select
+   (exact whenever outh >= active lines; see _place_rows).
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ from ntsc_crt_tpu.ops.fixedpoint import cdiv, i32, posmod, crem, sincos14
 
 
 class MonitorParams(NamedTuple):
-    """Runtime monitor knobs (struct CRT fields, crt_core.h:82-86)."""
+    """Runtime monitor knobs (struct CRT fields, crt_core.h:82-86).
+    Each field may be a scalar or a (B,) vector."""
     hue: jax.Array = np.int32(0)
     brightness: jax.Array = np.int32(0)
     contrast: jax.Array = np.int32(180)
@@ -46,6 +51,10 @@ class MonitorParams(NamedTuple):
     white_point: jax.Array = np.int32(100)
     blend: jax.Array = np.int32(0)
     scanlines: jax.Array = np.int32(0)
+
+
+def _b(x, B):
+    return jnp.broadcast_to(i32(x), (B,))
 
 
 def _eq_coefs(cfg: SystemConfig):
@@ -62,150 +71,181 @@ def _eq_coefs(cfg: SystemConfig):
     return y, i, q
 
 
+# ---------------------------------------------------------------------------
+# Noise injection
+# ---------------------------------------------------------------------------
+
+
 def _inject_noise(cfg: SystemConfig, analog_flat, rn, noise):
-    """crt_core.c:346-367 (plain path; VHS tracking noise handled in
-    _inject_noise_vhs)."""
-    byte, rn_out = lcg.noise_bytes(rn, cfg.input_size)
-    s = analog_flat + ((byte * i32(noise)) >> 8)
-    return jnp.clip(s, -127, 127), rn_out
+    """crt_core.c:346-367, batched: analog_flat (B, N) int32, rn (B,)."""
+    n = cfg.input_size
+    apow, csum = lcg._lcg_tables(n, lcg.LCG_A, lcg.LCG_B)
+    rn0 = lax.bitcast_convert_type(i32(rn), jnp.uint32)[:, None]
+    stream = jnp.asarray(apow)[None, :] * rn0 + jnp.asarray(csum)[None, :]
+    byte = ((stream >> 16) & 0xFF).astype(jnp.int32) - 0x7F
+    rn_out = lax.bitcast_convert_type(stream[:, -1], jnp.int32)
+    s = analog_flat + ((byte * noise[:, None]) >> 8)
+    return jnp.clip(s, -127, 127).astype(jnp.int8), rn_out
 
 
 def _inject_noise_vhs(cfg: SystemConfig, analog_flat, randstate, noise):
     """VHS tracking-noise variant (crt_core.c:343-366 under CRT_VHS_NOISE):
     a sinusoidal noise band wobbles over the last ~16 lines, driven by the
-    spec'd crt_rand (see ops/lcg.py).
+    spec'd crt_rand (see ops/lcg.py).  Batched over frames.
 
-    The rand() call count per sample is data-dependent (the band's lower-edge
-    rand() only fires when the upper-edge test passes, via C's && short
-    circuit).  The band tests can only pass for samples in the last 25 lines,
-    so the stream is split: a closed-form parallel prefix (exactly 2 calls
-    per sample) covering ~95% of the field, and a short lax.scan tail
-    carrying the rand state.  Returns (inp, randstate', rn' = last rand value
-    — crt_core.c:359,367 stores the last rand VALUE in v->rn).
-    """
+    The rand() call count per sample is data-dependent (the band's lower
+    edge rand() only fires when the upper-edge test passes, via C's &&
+    short circuit).  The band tests can only pass in the last 25 lines, so
+    the stream splits: a closed-form parallel prefix (exactly 2 calls per
+    sample) covers ~95% of the field, and a short lax.scan tail carries the
+    rand state.  Returns (inp int8, randstate', rn' = last rand VALUE —
+    crt_core.c:359,367)."""
     N = cfg.input_size
     H = cfg.hres
-    noise = i32(noise)
+    B = analog_flat.shape[0]
 
-    # call 0: band center line (crt_core.c:344)
-    head, st1 = lcg.crt_rand_stream(randstate, 1)
-    band_line = (crem(head[0], 8) - 4) + 14
+    head_st = lcg.crt_rand_step(i32(randstate))          # call 0: band line
+    head = lcg.crt_rand_out(lax.bitcast_convert_type(head_st, jnp.uint32))
+    band_line = (crem(head, 8) - 4) + 14                 # (B,)
 
-    n0 = N - 25 * H + 1          # samples 0..n0-1 cannot hit the band test
-    # region A: calls 1..2*n0 after the head call; sample i uses calls
-    # (2i+1, 2i+2) of the post-head stream
-    streamA = lcg.lcg_stream(st1, 2 * n0, lcg.RAND_A, lcg.RAND_B)
-    rnA = lcg.crt_rand_out(streamA[0::2])                       # (n0,)
-    sA = analog_flat[:n0] + ((((rnA >> 16) & 0xFF) - 0x7F) * noise >> 8)
-    stA = jax.lax.bitcast_convert_type(streamA[-1], jnp.int32)
+    n0 = N - 25 * H + 1
+    apow, csum = lcg._lcg_tables(2 * n0, lcg.RAND_A, lcg.RAND_B)
+    st1u = lax.bitcast_convert_type(head_st, jnp.uint32)[:, None]
+    streamA = jnp.asarray(apow)[None, ::2] * st1u + jnp.asarray(csum)[None, ::2]
+    rnA = (streamA >> 1).astype(jnp.int32)               # crt_rand_out
+    sA = analog_flat[:, :n0] + \
+        ((((rnA >> 16) & 0xFF) - 0x7F) * noise[:, None] >> 8)
+    # state after all 2*n0 region-A calls
+    a_last = jnp.asarray(apow[-1])
+    c_last = jnp.asarray(csum[-1])
+    stA = lax.bitcast_convert_type(
+        a_last * lax.bitcast_convert_type(head_st, jnp.uint32) + c_last,
+        jnp.int32)
 
-    # region B: sequential scan over the last 25 lines
+    analogB = analog_flat[:, n0:]                        # (B, 25H-1)
     idxB = jnp.arange(n0, N, dtype=jnp.int32)
 
-    def stepB(carry, i):
+    def stepB(carry, xs):
         st = carry
+        i, acol = xs                                     # scalar, (B,)
         st = lcg.crt_rand_step(st)
-        rn = lcg.crt_rand_out(jax.lax.bitcast_convert_type(st, jnp.uint32))
-        st = lcg.crt_rand_step(st)
-        rB = lcg.crt_rand_out(jax.lax.bitcast_convert_type(st, jnp.uint32))
+        rn = lcg.crt_rand_out(lax.bitcast_convert_type(st, jnp.uint32))
+        st2 = lcg.crt_rand_step(st)
+        rB = lcg.crt_rand_out(lax.bitcast_convert_type(st2, jnp.uint32))
         cond1 = i > (N - H * (16 + (crem(rB, 20) - 10)))
-        st3 = lcg.crt_rand_step(st)
-        rC = lcg.crt_rand_out(jax.lax.bitcast_convert_type(st3, jnp.uint32))
-        st = jnp.where(cond1, st3, st)          # short-circuit &&
+        st3 = lcg.crt_rand_step(st2)
+        rC = lcg.crt_rand_out(lax.bitcast_convert_type(st3, jnp.uint32))
+        st = jnp.where(cond1, st3, st2)                  # short-circuit &&
         cond2 = i < (N - H * (5 + (crem(rC, 8) - 4)))
         in_band = cond1 & cond2
         ln = cdiv(i * band_line, H)
         _, cs = sincos14(cdiv(ln * 8192, 180))
         nn = jnp.where(in_band, cs >> 8, noise)
-        s = jnp.take(analog_flat, i) + ((((rn >> 16) & 0xFF) - 0x7F) * nn >> 8)
+        s = acol + ((((rn >> 16) & 0xFF) - 0x7F) * nn >> 8)
         return st, (s, rn)
 
-    st_final, (sB, rnB) = jax.lax.scan(stepB, stA, idxB)
-    s = jnp.concatenate([sA, sB])
-    return jnp.clip(s, -127, 127), st_final, rnB[-1]
+    st_final, (sB, rnB) = lax.scan(
+        stepB, stA, (idxB, analogB.T), unroll=4)
+    s = jnp.concatenate([sA, sB.T], axis=1)
+    return (jnp.clip(s, -127, 127).astype(jnp.int8), st_final, rnB[-1])
 
 
-def _find_vsync(cfg: SystemConfig, inp, vsync):
-    """First (line, sample) where the integrated signal crosses the vsync
-    threshold (crt_core.c:369-397).  inp: int32 (VRES, HRES)."""
+# ---------------------------------------------------------------------------
+# Sync recovery
+# ---------------------------------------------------------------------------
+
+
+def _find_vsync(cfg: SystemConfig, inp2d, vsync):
+    """First (line, sample) crossing the vsync threshold (crt_core.c:369-397).
+    inp2d: int8 (B, VRES, HRES); vsync: (B,)."""
     W = cfg.vsync_window
-    cand = posmod(vsync + jnp.arange(-W, W, dtype=jnp.int32), cfg.vres)
-    rows = jnp.take(inp, cand, axis=0)                        # (2W, HRES)
-    cum = jnp.cumsum(rows, axis=1)
+    B = inp2d.shape[0]
+    cand = posmod(vsync[:, None] + jnp.arange(-W, W, dtype=jnp.int32)[None, :],
+                  cfg.vres)                              # (B, 2W)
+    rows = fastpath.select_rows_batched(inp2d, cand)     # (B, 2W, H) int32
+    cum = jnp.cumsum(rows, axis=2)
     hit = cum <= cfg.vsync_thresh * cfg.sync_level
-    any_hit = jnp.any(hit, axis=1)
-    first_j = jnp.argmax(hit, axis=1)
-    row = jnp.argmax(any_hit)                                  # first hitting line
-    exists = jnp.any(any_hit)
-    line = jnp.where(exists, cand[row], cand[2 * W - 1])
-    j = jnp.where(exists, first_j[row], cfg.hres)              # loop fall-through
+    any_hit = jnp.any(hit, axis=2)                       # (B, 2W)
+    first_j = jnp.argmax(hit, axis=2)
+    row = jnp.argmax(any_hit, axis=1)                    # first hitting line
+    exists = jnp.any(any_hit, axis=1)
+    pick = fastpath.onehot_pick(cand, row[:, None])[:, 0]
+    line = jnp.where(exists, pick, cand[:, 2 * W - 1])
+    jsel = jnp.take_along_axis(first_j, row[:, None], axis=1)[:, 0]
+    j = jnp.where(exists, jsel, cfg.hres)                # loop fall-through
     field = (j > cfg.hres // 2).astype(jnp.int32)
     return line.astype(jnp.int32), field
 
 
 def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
                saturation, outh, v_fac, field_px):
-    """Sequential per-line pass: hsync chase, ccf EMA, decode-wave derivation.
-
-    Returns per-line (pos, wave/waveIQ, beg, end, active) stacked over the
-    active region lines.  crt_core.c:409-536.
-    """
+    """Sequential per-line pass: hsync chase, ccf EMA, decode-wave derivation
+    (crt_core.c:409-536).  Batched: inp_flat (B, N) int8, carries (B, ...)."""
     CC = cfg.cc_samples
+    B = inp_flat.shape[0]
     lines = jnp.arange(cfg.top, cfg.bot, dtype=jnp.int32)
     n_total = cfg.input_size
 
+    def window(base, length):
+        """inp_flat[b, base[b] + j] for j < length, via take_along_axis.
+        base: (B,); small windows only (16-50 samples)."""
+        idx = posmod(base[:, None] + jnp.arange(length, dtype=jnp.int32)[None],
+                     n_total)
+        return jnp.take_along_axis(inp_flat, idx, axis=1).astype(jnp.int32)
+
     def step(carry, line):
-        hsync, ccf = carry
+        hsync, ccf = carry                               # (B,), (B, VP, CC)
         beg = cdiv((line - cfg.top) * (outh + v_fac), cfg.lines) + field_px
         end = cdiv((line - cfg.top + 1) * (outh + v_fac), cfg.lines) + field_px
-        active = beg < outh  # 'continue' guard (crt_core.c:431)
+        active = beg < outh                              # (B,) 'continue' guard
 
-        ln = posmod(line + vsync, cfg.vres) * cfg.hres
+        ln = posmod(line + vsync, cfg.vres) * cfg.hres   # (B,)
 
         # hsync search over a 2W window (crt_core.c:434-450)
         W = cfg.hsync_window
-        widx = ln + hsync + cfg.sync_beg + jnp.arange(-W, W, dtype=jnp.int32)
-        wvals = jnp.take(inp_flat, posmod(widx, n_total))
-        cum = jnp.cumsum(wvals)
+        wvals = window(ln + hsync + cfg.sync_beg - W, 2 * W)
+        cum = jnp.cumsum(wvals, axis=1)
         hit = cum <= cfg.hsync_thresh * cfg.sync_level
-        i_break = jnp.where(jnp.any(hit), jnp.argmax(hit) - W, W)
-        hsync_new = posmod(i_break + hsync, cfg.hres)
-        hsync = jnp.where(active, hsync_new, hsync)
+        i_break = jnp.where(jnp.any(hit, axis=1),
+                            jnp.argmax(hit, axis=1).astype(jnp.int32) - W, W)
+        hsync = jnp.where(active, posmod(i_break + hsync, cfg.hres), hsync)
 
-        xpos = posmod(cfg.av_beg + hsync - 3, cfg.hres)        # xnudge=-3
-        ypos = posmod(line + vsync + 3, cfg.vres)              # ynudge=+3
-        pos = xpos
+        xpos = posmod(cfg.av_beg + hsync - 3, cfg.hres)  # xnudge=-3
+        ypos = posmod(line + vsync + 3, cfg.vres)        # ynudge=+3
 
         # color carrier convergence EMA over the burst (crt_core.c:456-467)
-        vper_row = crem(ypos, cfg.cc_vper)  # ypos >= 0 so % == posmod
-        ccr = lax.dynamic_slice(ccf, (vper_row, 0), (1, CC))[0]
+        vper_row = crem(ypos, cfg.cc_vper)               # (B,)
+        row_oh = (vper_row[:, None] ==
+                  jnp.arange(cfg.cc_vper, dtype=jnp.int32)[None, :])
+        ccr = jnp.sum(jnp.where(row_oh[:, :, None], ccf, 0), axis=1)  # (B, CC)
         if CC == 4:
-            base = ln + (hsync & ~3)                           # crt_core.c:458
+            base = ln + (hsync & ~3)                     # crt_core.c:458
         else:
             base = ln + (hsync - crem(hsync, CC))
-        bidx = base + cfg.cb_beg + jnp.arange(cfg.burst_len, dtype=jnp.int32)
-        bvals = jnp.take(inp_flat, posmod(bidx, n_total))
-        # arrange burst samples by phase class, preserving order
+        bvals = window(base + cfg.cb_beg, cfg.burst_len)
         m = cfg.burst_len // CC
-        resh = bvals.reshape(m, CC)
-        cls = jnp.arange(CC, dtype=jnp.int32)
-        col_for_cls = posmod(cls - cfg.cb_beg, CC)             # j = m*CC+c -> class (cb_beg+c)%CC
-        per_cls = jnp.take(resh, col_for_cls, axis=1)          # (m, CC) in class order
+        resh = bvals.reshape(B, m, CC)
+        col_for_cls = np.asarray([(k - cfg.cb_beg) % CC for k in range(CC)])
+        per_cls = resh[:, :, jnp.asarray(col_for_cls)]   # (B, m, CC) class-order
         ccr_new = ccr
         for mm in range(m):
-            ccr_new = cdiv(ccr_new * 127, 128) + per_cls[mm]
-        ccr = jnp.where(active, ccr_new, ccr)
-        ccf = lax.dynamic_update_slice(ccf, ccr[None, :], (vper_row, 0))
+            ccr_new = cdiv(ccr_new * 127, 128) + per_cls[:, mm]
+        ccr = jnp.where(active[:, None], ccr_new, ccr)
+        ccf = jnp.where(row_oh[:, :, None], ccr[:, None, :], ccf)
 
-        phasealign = posmod(hsync, CC)
+        phasealign = posmod(hsync, CC)                   # (B,)
+
+        def pick(vec, idx):
+            """vec (B, CC) at per-frame scalar idx (B,) — masked sum."""
+            return fastpath.onehot_pick(vec, idx[:, None])[:, 0]
 
         if CC == 4:
             # 4-sample IQ extraction (crt_core.c:471-479)
-            dci = jnp.take(ccr, (phasealign + 1) & 3) - jnp.take(ccr, (phasealign + 3) & 3)
-            dcq = jnp.take(ccr, (phasealign + 2) & 3) - jnp.take(ccr, (phasealign + 0) & 3)
+            dci = pick(ccr, (phasealign + 1) & 3) - pick(ccr, (phasealign + 3) & 3)
+            dcq = pick(ccr, (phasealign + 2) & 3) - pick(ccr, (phasealign + 0) & 3)
             w0 = ((dci * hue_cs - dcq * hue_sn) >> 4) * saturation
             w1 = ((dcq * hue_cs + dci * hue_sn) >> 4) * saturation
-            wave = jnp.stack([w0, w1, -w0, -w1])
+            wave = jnp.stack([w0, w1, -w0, -w1], axis=1)  # (B, 4)
             out_w = (wave,)
         else:
             # 5-sample variant (crt_core.c:480-509)
@@ -213,137 +253,138 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
             off90 = CC // 4
             peakA = phasealign + off90
             peakB = phasealign
-            dciA = jnp.take(ccr, crem(peakA, CC))
-            dciB = cdiv(jnp.take(ccr, crem(peakA + off180, CC)) +
-                        jnp.take(ccr, crem(peakA + off180 + 1, CC)), 2)
-            dcqA = jnp.take(ccr, crem(peakB + off180, CC))
-            dcqB = jnp.take(ccr, crem(peakB, CC))
-            dci = dciA - dciB
-            dcq = dcqA - dcqB
-            # hue rotation into wave tables is line-independent given
-            # (dci, dcq); hoisted out of the scan (see demodulate_core)
-            out_w = (dci, dcq)
-        return (hsync, ccf), (pos, beg, end, active) + out_w
+            dciA = pick(ccr, crem(peakA, CC))
+            dciB = cdiv(pick(ccr, crem(peakA + off180, CC)) +
+                        pick(ccr, crem(peakA + off180 + 1, CC)), 2)
+            dcqA = pick(ccr, crem(peakB + off180, CC))
+            dcqB = pick(ccr, crem(peakB, CC))
+            out_w = (dciA - dciB, dcqA - dcqB)
+        return (hsync, ccf), (xpos, beg, end, active) + out_w
 
     (hsync_f, ccf_f), outs = lax.scan(step, (hsync0, ccf0), lines, unroll=8)
+    # stacked outputs come out (L, B, ...) -> (B, L, ...)
+    outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
     return hsync_f, ccf_f, outs
+
+
+# ---------------------------------------------------------------------------
+# Core decode
+# ---------------------------------------------------------------------------
 
 
 def demodulate_core(
     cfg: SystemConfig,
-    analog: jax.Array,       # int8 (VRES, HRES)
-    out_prev: jax.Array,     # uint8 (outh, outw, 3) canonical RGB — persists
-    hsync: jax.Array,
-    vsync: jax.Array,
-    ccf: jax.Array,          # int32 (cc_vper, cc_samples)
-    rn: jax.Array,
+    analog: jax.Array,       # int8 (B, VRES, HRES)
+    out_prev: jax.Array,     # uint8 (B, outh, outw, 3) canonical RGB
+    hsync: jax.Array,        # (B,)
+    vsync: jax.Array,        # (B,)
+    ccf: jax.Array,          # int32 (B, cc_vper, cc_samples)
+    rn: jax.Array,           # (B,)
     noise,
     mon: MonitorParams,
     *,
     randstate: jax.Array = None,
     v_fac: int = 0,
 ) -> tuple[jax.Array, dict]:
-    """One decode pass.  Returns (rgb uint8 (outh,outw,3), new state dict
+    """One decode pass.  Returns (rgb uint8 (B,outh,outw,3), new state dict
     with keys hsync/vsync/ccf/rn/randstate/inp)."""
-    outh, outw = out_prev.shape[0], out_prev.shape[1]
+    B, outh, outw = out_prev.shape[0], out_prev.shape[1], out_prev.shape[2]
     CC = cfg.cc_samples
-
-    bright = i32(mon.brightness) - (cfg.black_level + i32(mon.black_point))
-
-    hue_ang = (crem(mon.hue, 360) + 33) * 8192
-    sn, cs = sincos14(cdiv(hue_ang, 180))
-    hue_sn, hue_cs = sn >> 11, cs >> 11                        # crt_core.c:318-320
-
-    analog_flat = jnp.asarray(analog, jnp.int32).reshape(-1)
-    if cfg.vhs_noise:
-        inp_flat, randstate, rn_new = _inject_noise_vhs(
-            cfg, analog_flat, randstate, noise)
-    else:
-        inp_flat, rn_new = _inject_noise(cfg, analog_flat, rn, noise)
-    inp2d = inp_flat.reshape(cfg.vres, cfg.hres)
-
-    vsync_new, field = _find_vsync(cfg, inp2d, vsync)
-
-    ratio = ((outh << 16) // cfg.lines + 32768) >> 16          # static
-    field_px = field * (ratio // 2)
-
-    hsync_new, ccf_new, outs = _line_scan(
-        cfg, inp_flat, i32(hsync), jnp.asarray(ccf, jnp.int32), vsync_new,
-        hue_sn, hue_cs, i32(mon.saturation), outh, v_fac, field_px)
-
-    if CC == 4:
-        xpos_l, beg_l, end_l, active_l, wave_l = outs          # (L,), wave (L,4)
-    else:
-        xpos_l, beg_l, end_l, active_l, dci_l, dcq_l = outs
-        # wave tables rotated by hue (crt_core.c:499-509), per line
-        kk = jnp.arange(CC, dtype=jnp.int32)
-        base_ang = crem(mon.hue, 360) + kk * (360 // CC)       # (CC,)
-        snI, csI = sincos14(cdiv(base_ang * 8192, 180))
-        snQ, csQ = sincos14(cdiv((base_ang + 90) * 8192, 180))
-        sat = i32(mon.saturation)
-        waveI_l = ((dci_l[:, None] * csI + dcq_l[:, None] * snI) >> 15) * sat
-        waveQ_l = ((dci_l[:, None] * csQ + dcq_l[:, None] * snQ) >> 15) * sat
-
     L = cfg.lines
     AV = cfg.av_len
     H, V = cfg.hres, cfg.vres
+    noise = _b(noise, B)
 
-    # Extract each line's active-video window sig[l, i] = inp[pos_l + i]
-    # without gathers (ops/fastpath.py): the row component of pos_l is a
-    # scalar roll by (vsync + 3), the column component a per-line shift by
-    # xpos_l realized as a one-hot bf16 cross-correlation on the MXU.
-    # Reads past a row continue into the next row like the reference's flat
-    # indexing; reads past the final line wrap to the top (the reference
-    # reads out of bounds there — UB — e.g. under VHS aberration).
-    inp2d_i8 = inp_flat.astype(jnp.int8).reshape(V, H)
-    doubled = jnp.concatenate([inp2d_i8, inp2d_i8], axis=0)     # (2V, H)
-    start = posmod(cfg.top + vsync_new + 3, V)
-    rolled = lax.dynamic_slice(doubled, (start, 0), (L + 1, H)) # rows ypos_l
-    rows_ext = jnp.concatenate([rolled[:L], rolled[1:L + 1]], axis=1)
-    sig = fastpath.shift_rows(jnp.asarray(rows_ext, jnp.int32),
-                              xpos_l, AV)                       # (L, AV)
+    bright = _b(mon.brightness, B) - (cfg.black_level + _b(mon.black_point, B))
+
+    hue_ang = (crem(_b(mon.hue, B), 360) + 33) * 8192
+    sn, cs = sincos14(cdiv(hue_ang, 180))
+    hue_sn, hue_cs = sn >> 11, cs >> 11                  # crt_core.c:318-320
+    saturation = _b(mon.saturation, B)
+
+    analog_flat = jnp.asarray(analog, jnp.int32).reshape(B, -1)
+    if cfg.vhs_noise:
+        inp_flat, randstate, rn_new = _inject_noise_vhs(
+            cfg, analog_flat, _b(randstate, B), noise)
+    else:
+        inp_flat, rn_new = _inject_noise(cfg, analog_flat, _b(rn, B), noise)
+    inp2d = inp_flat.reshape(B, V, H)
+
+    vsync_new, field = _find_vsync(cfg, inp2d, _b(vsync, B))
+
+    ratio = ((outh << 16) // cfg.lines + 32768) >> 16    # static
+    field_px = field * (ratio // 2)                      # (B,)
+
+    hsync_new, ccf_new, outs = _line_scan(
+        cfg, inp_flat, _b(hsync, B), jnp.asarray(ccf, jnp.int32), vsync_new,
+        hue_sn, hue_cs, saturation, outh, v_fac, field_px)
 
     if CC == 4:
-        wv_i = fastpath.tile_period(wave_l, AV, 0)              # (L, AV)
+        xpos_l, beg_l, end_l, active_l, wave_l = outs    # (B,L,...), wave (B,L,4)
+    else:
+        xpos_l, beg_l, end_l, active_l, dci_l, dcq_l = outs
+        # wave tables rotated by hue (crt_core.c:499-509)
+        kk = jnp.arange(CC, dtype=jnp.int32)[None, :]
+        base_ang = crem(_b(mon.hue, B), 360)[:, None] + kk * (360 // CC)
+        snI, csI = sincos14(cdiv(base_ang * 8192, 180))
+        snQ, csQ = sincos14(cdiv((base_ang + 90) * 8192, 180))
+        sat = saturation[:, None, None]
+        waveI_l = ((dci_l[..., None] * csI[:, None, :]
+                    + dcq_l[..., None] * snI[:, None, :]) >> 15) * sat
+        waveQ_l = ((dci_l[..., None] * csQ[:, None, :]
+                    + dcq_l[..., None] * snQ[:, None, :]) >> 15) * sat
+
+    # --- line extraction: sig[b, l, i] = inp[b, pos + i] -------------------
+    # row component: scalar roll by (vsync + 3); column: per-line shift by
+    # xpos_l as a grouped one-hot conv over flattened rows.  Reads past a
+    # row continue into the next; past the last line wrap to the top (the
+    # reference reads OOB there — UB — e.g. under VHS aberration).
+    row_idx = posmod(cfg.top + vsync_new[:, None]
+                     + jnp.arange(L + 1, dtype=jnp.int32)[None, :] + 3, V)
+    rolled = fastpath.select_rows_batched(inp2d, row_idx)  # (B, L+1, H)
+    rows_ext = jnp.concatenate([rolled[:, :L], rolled[:, 1:]], axis=2)
+    sig = fastpath.shift_rows(rows_ext.reshape(B * L, 2 * H),
+                              xpos_l.reshape(B * L), AV).reshape(B, L, AV)
+
+    if CC == 4:
+        wv_i = fastpath.tile_period(wave_l, AV, 0)       # (B, L, AV)
         wv_q = fastpath.tile_period(wave_l, AV, 3)
     else:
         wv_i = fastpath.tile_period(waveI_l, AV, 0)
         wv_q = fastpath.tile_period(waveQ_l, AV, 0)
 
-    y_in = sig + bright
+    y_in = sig + bright[:, None, None]
     i_in = (sig * wv_i) >> 9
     q_in = (sig * wv_q) >> 9
 
     eqY, eqI, eqQ = _eq_coefs(cfg)
-    stacked = jnp.stack([y_in, i_in, q_in], axis=1)             # (L, 3, AV)
-    lf = jnp.asarray([eqY.lf, eqI.lf, eqQ.lf], jnp.int32)[None, :]
-    hf = jnp.asarray([eqY.hf, eqI.hf, eqQ.hf], jnp.int32)[None, :]
-    g0 = jnp.asarray([eqY.g_lo, eqI.g_lo, eqQ.g_lo], jnp.int32)[None, :]
-    g1 = jnp.asarray([eqY.g_mid, eqI.g_mid, eqQ.g_mid], jnp.int32)[None, :]
-    g2 = jnp.asarray([eqY.g_hi, eqI.g_hi, eqQ.g_hi], jnp.int32)[None, :]
-    eqd = filters.eq_threeband(stacked, lf, hf, g0, g1, g2)
-    oy = eqd[:, 0] << 4                                         # crt_core.c:540
-    oi = eqd[:, 1] >> 3
-    oq = eqd[:, 2] >> 3
+    stacked = jnp.stack([y_in, i_in, q_in], axis=2)      # (B, L, 3, AV)
+    mk = lambda *v: jnp.asarray(v, jnp.int32)[None, None, :]
+    eqd = filters.eq_threeband(
+        stacked,
+        mk(eqY.lf, eqI.lf, eqQ.lf), mk(eqY.hf, eqI.hf, eqQ.hf),
+        mk(eqY.g_lo, eqI.g_lo, eqQ.g_lo), mk(eqY.g_mid, eqI.g_mid, eqQ.g_mid),
+        mk(eqY.g_hi, eqI.g_hi, eqQ.g_hi))
+    oy = eqd[:, :, 0] << 4                               # crt_core.c:540
+    oi = eqd[:, :, 1] >> 3
+    oq = eqd[:, :, 2] >> 3
 
     # ---- scan conversion (crt_core.c:555-611) ------------------------------
-    # fixed-point lerp as exact int8-limb MXU matmuls (ops/fastpath.py)
     yv = fastpath.lerp_resample(oy, outw, 2)
     iv = fastpath.lerp_resample(oi, outw, 14)
     qv = fastpath.lerp_resample(oq, outw, 14)
 
-    contrast = i32(mon.contrast)
+    contrast = _b(mon.contrast, B)[:, None, None]
     r = (((yv + 3879 * iv + 2556 * qv) >> 12) * contrast) >> 8
     g = (((yv - 1126 * iv - 2605 * qv) >> 12) * contrast) >> 8
     b = (((yv - 4530 * iv + 7021 * qv) >> 12) * contrast) >> 8
-    rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255)       # (L, outw, 3)
+    rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255)  # (B, L, outw, 3)
 
     out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
-                          i32(mon.blend), i32(mon.scanlines), outh)
+                          _b(mon.blend, B), _b(mon.scanlines, B), outh)
 
     state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new, rn=rn_new,
-                 randstate=randstate,
-                 inp=inp_flat.astype(jnp.int8).reshape(cfg.vres, cfg.hres))
+                 randstate=randstate, inp=inp2d)
     return out_new, state
 
 
@@ -351,7 +392,7 @@ def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
                 outh):
     """Reproduce the reference's sequential row writes (store at `beg`,
     memcpy-duplicate up to `end - scanlines`, blend vs previous contents;
-    crt_core.c:552-664) as a pure per-output-row gather.
+    crt_core.c:552-664) as a pure per-output-row one-hot select.
 
     Exactness note: resolves overlapping writes by "last line wins", which is
     identical to the C semantics whenever line `beg`s are strictly increasing
@@ -360,24 +401,25 @@ def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
     rows written earlier in the same call; callers wanting that regime should
     lower blend or use outh >= CRT_LINES.
     """
-    L = cfg.lines
+    B, L = rgb.shape[0], rgb.shape[1]
     end_c = jnp.minimum(end_l, outh)
-    cov_end = jnp.maximum(beg_l + 1, end_c - scanlines)
+    cov_end = jnp.maximum(beg_l + 1, end_c - scanlines[:, None])
 
-    rows = jnp.arange(outh, dtype=jnp.int32)[:, None]           # (outh, 1)
-    covers = (rows >= beg_l[None, :]) & (rows < cov_end[None, :]) & active_l[None, :]
-    lid = jnp.arange(L, dtype=jnp.int32)[None, :]
-    last = jnp.max(jnp.where(covers, lid, -1), axis=1)          # (outh,)
+    rows = jnp.arange(outh, dtype=jnp.int32)[None, :, None]   # (1, outh, 1)
+    covers = ((rows >= beg_l[:, None, :]) & (rows < cov_end[:, None, :])
+              & active_l[:, None, :])
+    lid = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    last = jnp.max(jnp.where(covers, lid, -1), axis=2)        # (B, outh)
     exists = last >= 0
     lsel = jnp.maximum(last, 0)
 
     old = jnp.asarray(out_prev, jnp.int32)
-    beg_sel = jnp.take(beg_l, lsel)                             # source row's beg
-    old_at_beg = fastpath.select_rows(out_prev,
-                                      jnp.clip(beg_sel, 0, outh - 1))
-    new_rows = fastpath.select_rows(jnp.clip(rgb, 0, 255).astype(jnp.uint8),
-                                    lsel)                       # (outh, outw, 3)
-    blended = (new_rows >> 1) + (old_at_beg >> 1)               # crt_core.c:608
-    content = jnp.where(blend != 0, blended, new_rows)
-    out = jnp.where(exists[:, None, None], content, old)
+    beg_sel = jnp.take_along_axis(beg_l, lsel, axis=1)        # (B, outh)
+    old_at_beg = fastpath.select_rows_batched(
+        out_prev, jnp.clip(beg_sel, 0, outh - 1))
+    new_rows = fastpath.select_rows_batched(
+        rgb.astype(jnp.uint8), lsel)                          # (B, outh, outw, 3)
+    blended = (new_rows >> 1) + (old_at_beg >> 1)             # crt_core.c:608
+    content = jnp.where((blend != 0)[:, None, None, None], blended, new_rows)
+    out = jnp.where(exists[..., None, None], content, old)
     return out.astype(jnp.uint8)

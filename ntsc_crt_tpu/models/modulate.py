@@ -1,8 +1,12 @@
-"""Modulator: digital RGB frame -> sampled analog NTSC composite field.
+"""Modulator: digital RGB frames -> sampled analog NTSC composite fields.
 
 TPU-native reformulation of the reference encoders (crt_ntsc.c:128-330 is the
-canonical one).  The reference writes the 262-line field sample-by-sample;
-here the field splits into three tensor phases:
+canonical one).  All functions are **batch-first**: a leading frame-batch dim
+is threaded through every tensor instead of vmap, so data movement stays in
+its fast forms (static slices, one-hot MXU matmuls, grouped convs, Pallas
+row-kernels) rather than decaying into per-element gathers under batching.
+
+Per frame the field splits into three tensor phases:
 
 1. **Field skeleton** — sync/equalizing/blank structure is a pure function of
    (system, field parity); both parities are built once at trace time as
@@ -10,15 +14,16 @@ here the field splits into three tensor phases:
    skeleton does NOT write persist from the previous field — load-bearing:
    the active-video region of inactive lines and the last column are stale by
    design in the reference, and NES mode relies on skeleton persistence).
-2. **Color burst** — a per-line constant over the burst window, computed from
-   the (traced) hue via the vectorized 14-bit sine.
-3. **Active video** — nearest-neighbor image gather, RGB->YIQ as int32
-   elementwise dot, per-line IIR bandlimit (serial along x, batched across
-   lines — see ops/filters.py), quadrature carrier multiply, IRE clamp, and
-   one dynamic_update_slice scatter into the analog field.
+2. **Color burst** — per-line constants over the burst window from the
+   (traced) hue via the vectorized 14-bit sine.
+3. **Active video** — nearest-neighbor resample as one-hot MXU matmuls,
+   RGB->YIQ int32 elementwise, per-line IIR bandlimit (serial along x,
+   batched across lines — ops/filters.py), quadrature carrier multiply, IRE
+   clamp, one static-slice scatter into the analog field.
 
 All integer ops match the C bit-for-bit (truncating div, arithmetic shifts,
-int32 wrap).
+int32 wrap).  x/y offsets are static (the reference drivers never vary them
+at runtime); everything else may be traced per frame.
 """
 
 from __future__ import annotations
@@ -36,6 +41,11 @@ from ntsc_crt_tpu.models.systems import (
 )
 from ntsc_crt_tpu.ops import fastpath, filters
 from ntsc_crt_tpu.ops.fixedpoint import cdiv, crem, i32, posmod, sincos14
+
+
+def _b(x, B):
+    """Broadcast a scalar-or-(B,) traced parameter to (B,) int32."""
+    return jnp.broadcast_to(i32(x), (B,))
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +88,6 @@ def build_skeletons(cfg: SystemConfig):
 
     video = np.full(H, blank, np.int8)
     video[cfg.sync_beg:cfg.bw_beg] = sync               # crt_ntsc.c:233-235
-    # FP before sync_beg and BW+CB+BP after are blank (initialized above)
 
     skel_even = np.zeros((V, H), np.int8)
     skel_odd = np.zeros((V, H), np.int8)
@@ -124,6 +133,14 @@ def build_skeleton_nes(cfg: SystemConfig) -> np.ndarray:
     return skel
 
 
+@functools.lru_cache(maxsize=16)
+def video_rows_mask(cfg: SystemConfig) -> np.ndarray:
+    rows = np.ones(cfg.vres, bool)
+    for lo, hi in (cfg.equ_a, cfg.sync_region, cfg.equ_b):
+        rows[lo:hi + 1] = False
+    return rows
+
+
 def _dest_size(cfg: SystemConfig, raw: bool, img_w: int, img_h: int):
     """destw/desth sizing (crt_ntsc.c:148-173, non-bloom path)."""
     destw, desth = cfg.av_len, (cfg.lines * 64500) >> 16
@@ -133,177 +150,191 @@ def _dest_size(cfg: SystemConfig, raw: bool, img_w: int, img_h: int):
     return destw, desth
 
 
+def _resample(cfg: SystemConfig, img_u8, sy, destw):
+    """Nearest-neighbor image resample via one-hot MXU matmuls.
+    img_u8 (B, h, w, 3), sy (B, desth) traced -> int32 (B, desth, destw, 3)."""
+    w = img_u8.shape[2]
+    sx = (np.arange(destw, dtype=np.int64) * w) // destw
+    rows = fastpath.select_rows_batched(img_u8, sy)      # (B, desth, w, 3)
+    return fastpath.select_cols_static(rows.astype(jnp.uint8), sx)
+
+
+def _rgb_to_yiq(pix):
+    """crt_ntsc.c:307-310 — int32 elementwise."""
+    rA, gA, bA = pix[..., 0], pix[..., 1], pix[..., 2]
+    fy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
+    fi = (39059 * rA - 18022 * gA - 21103 * bA) >> 14
+    fq = (13894 * rA - 34275 * gA + 20382 * bA) >> 14
+    return fy, fi, fq
+
+
+def _bandlimit(cfg: SystemConfig, fy, fi, fq):
+    """Per-line IIR bandlimit, serial along x (crt_ntsc.c:313-317)."""
+    cY = filters.init_iir(cfg.l_freq, cfg.y_freq)
+    cI = filters.init_iir(cfg.l_freq, cfg.i_freq)
+    cQ = filters.init_iir(cfg.l_freq, cfg.q_freq)
+    yiq = jnp.stack([fy, fi, fq], axis=-2)               # (B, desth, 3, destw)
+    coefs = jnp.asarray([cY, cI, cQ], jnp.int32)
+    yiq = filters.iir_lowpass(yiq, coefs[None, None, :])
+    return yiq[..., 0, :], yiq[..., 1, :], yiq[..., 2, :]
+
+
+def _store_active(analog, ire, xo: int, yo: int):
+    B, desth, destw = ire.shape
+    return analog.at[:, yo:yo + desth, xo:xo + destw].set(ire)
+
+
+def _ire_scale(cfg, fy, fi, fq, black_point, white_point):
+    gain = cdiv(cfg.white_level * white_point, 100)[:, None, None]
+    ire = cfg.black_level + black_point[:, None, None] + \
+        (((fy + fi + fq) * gain) >> 10)                  # crt_ntsc.c:318
+    return jnp.clip(ire, 0, 110).astype(jnp.int8)
+
+
 # ---------------------------------------------------------------------------
-# RGB-family modulator (NTSC; the SNES/VHS/PV1K/NESRGB variants build on it)
+# NTSC / NTSC-VHS (1D carrier tables + CC_PHASE sign, crt_ntsc.c)
 # ---------------------------------------------------------------------------
 
 
 def modulate_rgb(
     cfg: SystemConfig,
-    analog: jax.Array,        # int8 (VRES, HRES) — persistent field buffer
-    img: jax.Array,           # uint8/int32 (h, w, 3) canonical RGB
+    analog: jax.Array,        # int8 (B, VRES, HRES) — persistent field buffer
+    img: jax.Array,           # uint8 (B, h, w, 3) canonical RGB
     *,
-    field,                    # traced int: 0 even, 1 odd
-    frame,                    # traced int
-    hue,                      # traced int 0-359
-    as_color=1,               # traced int: 0 monochrome
-    xoffset=0,
-    yoffset=0,
-    black_point=0,
-    white_point=100,
-    raw: bool = False,        # static
+    field, frame, hue, as_color=1,
+    xoffset: int = 0, yoffset: int = 0,
+    black_point=0, white_point=100,
+    raw: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (analog', ccf') — ccf' is the encoder's burst export
-    (iccf << 7, crt_ntsc.c:325-329), shape (cc_vper, cc_samples) int32."""
+    (iccf << 7, crt_ntsc.c:325-329), shape (B, cc_vper, cc_samples) int32."""
     assert cfg.kind == "rgb" and cfg.cc_samples == 4, "NTSC-family encoder"
-    H, V = cfg.hres, cfg.vres
-    h, w = img.shape[0], img.shape[1]
+    B = analog.shape[0]
+    h, w = img.shape[1], img.shape[2]
     img_u8 = jnp.asarray(img, jnp.uint8)
-    field = i32(field) & 1
-    frame = i32(frame) & 1
-    hue = i32(hue)
+    field = _b(field, B) & 1
+    frame = _b(frame, B) & 1
+    hue = _b(hue, B)
+    black_point = _b(black_point, B)
+    white_point = _b(white_point, B)
+    CC = cfg.cc_samples
 
     destw, desth = _dest_size(cfg, raw, w, h)
-    xo = cfg.av_beg + i32(xoffset) + (cfg.av_len - destw) // 2
+    xo = (cfg.av_beg + xoffset + (cfg.av_len - destw) // 2) & ~3  # :203
     yo = cfg.top + yoffset + (cfg.lines - desth) // 2
-    xo = xo & ~3  # align signal (crt_ntsc.c:203)
 
-    inv_phase = (field == frame).astype(jnp.int32)  # crt_ntsc.c:199
+    inv_phase = (field == frame).astype(jnp.int32)       # crt_ntsc.c:199
     if cfg.chroma_pattern == CHROMA_CHECKERED:
-        ph = 1 - 2 * (inv_phase & 1)  # CC_PHASE (crt_ntsc.c:18-23)
+        ph = 1 - 2 * (inv_phase & 1)                     # CC_PHASE
     else:
-        ph = jnp.ones((), jnp.int32)
+        ph = jnp.ones((B,), jnp.int32)
 
-    # carrier tables (crt_ntsc.c:174-188)
-    k = jnp.arange(cfg.cc_samples, dtype=jnp.int32)
-    n_ang = hue + k * (360 // cfg.cc_samples)
+    # carrier tables (B, CC) (crt_ntsc.c:174-188)
+    k = jnp.arange(CC, dtype=jnp.int32)[None, :]
+    n_ang = hue[:, None] + k * (360 // CC)
     burst_sn, _ = sincos14(cdiv((n_ang + cfg.hue_offset) * 8192, 180))
     modI_sn, _ = sincos14(cdiv(n_ang * 8192, 180))
     modQ_sn, _ = sincos14(cdiv((n_ang + cfg.q_offset) * 8192, 180))
-    on = (i32(as_color) != 0)
+    on = (_b(as_color, B) != 0)[:, None]
     ccburst = jnp.where(on, burst_sn >> 10, 0)
     ccmodI = jnp.where(on, modI_sn >> 10, 0)
     ccmodQ = jnp.where(on, modQ_sn >> 10, 0)
 
     # --- skeleton + burst ---------------------------------------------------
     skel_even, skel_odd, mask = build_skeletons(cfg)
-    skel = jnp.where(field == 1, jnp.asarray(skel_odd), jnp.asarray(skel_even))
-    analog = jnp.where(jnp.asarray(mask), skel, analog)
+    skel = jnp.where((field == 1)[:, None, None],
+                     jnp.asarray(skel_odd), jnp.asarray(skel_even))
+    analog = jnp.where(jnp.asarray(mask)[None], skel, analog)
 
-    t = jnp.arange(cfg.burst_len, dtype=jnp.int32) + cfg.cb_beg
+    t = np.arange(cfg.burst_len, dtype=np.int32) + cfg.cb_beg
     if cfg.chroma_pattern == CHROMA_CHECKERED:
-        cb_idx = (t + inv_phase * (cfg.cc_samples // 2)) % cfg.cc_samples
+        cb_idx = (jnp.asarray(t)[None, :]
+                  + inv_phase[:, None] * (CC // 2)) % CC  # (B, blen)
     else:
-        cb_idx = t % cfg.cc_samples
+        cb_idx = jnp.broadcast_to(jnp.asarray(t % CC)[None, :],
+                                  (B, cfg.burst_len))
     burst_vals = (cfg.blank_level +
-                  jnp.take(ccburst, cb_idx) * cfg.burst_level) >> 5
-    # burst goes on every non-equalizing/non-vsync line (crt_ntsc.c:241-251)
-    video_rows = np.ones(V, bool)
-    for lo, hi in (cfg.equ_a, cfg.sync_region, cfg.equ_b):
-        video_rows[lo:hi + 1] = False
-    burst_rows = jnp.asarray(video_rows)[:, None]
-    seg = analog[:, cfg.cb_beg:cfg.cb_beg + cfg.burst_len]
-    seg = jnp.where(burst_rows, burst_vals[None, :].astype(jnp.int8), seg)
-    analog = lax.dynamic_update_slice(analog, seg, (0, cfg.cb_beg))
+                  fastpath.onehot_pick(ccburst[:, None, :], cb_idx)
+                  * cfg.burst_level) >> 5
+    vrows = jnp.asarray(video_rows_mask(cfg))[None, :, None]
+    seg = analog[:, :, cfg.cb_beg:cfg.cb_beg + cfg.burst_len]
+    seg = jnp.where(vrows, burst_vals[:, None, :].astype(jnp.int8), seg)
+    analog = analog.at[:, :, cfg.cb_beg:cfg.cb_beg + cfg.burst_len].set(seg)
 
     # iccf export: last burst write per phase class (crt_ntsc.c:249, 325-329)
-    kk = jnp.arange(cfg.cc_samples, dtype=jnp.int32)
+    kk = jnp.arange(CC, dtype=jnp.int32)[None, :]
     if cfg.chroma_pattern == CHROMA_CHECKERED:
-        icc_idx = (kk + inv_phase * (cfg.cc_samples // 2)) % cfg.cc_samples
+        icc_idx = (kk + inv_phase[:, None] * (CC // 2)) % CC
     else:
-        icc_idx = kk
-    iccf = (cfg.blank_level + jnp.take(ccburst, icc_idx) * cfg.burst_level) >> 5
-    ccf = jnp.broadcast_to(iccf << 7, (cfg.cc_vper, cfg.cc_samples)).astype(jnp.int32)
+        icc_idx = jnp.broadcast_to(kk, (B, CC))
+    iccf = (cfg.blank_level +
+            fastpath.onehot_pick(ccburst[:, None, :], icc_idx)
+            * cfg.burst_level) >> 5
+    ccf = jnp.broadcast_to((iccf << 7)[:, None, :],
+                           (B, cfg.cc_vper, CC)).astype(jnp.int32)
 
     # --- active video --------------------------------------------------------
-    # vertical resample + interlace field offset (crt_ntsc.c:254-265)
-    y_idx = jnp.arange(desth, dtype=jnp.int32)
-    field_offset = cdiv(cdiv(field * h + desth, desth), 2)
-    sy = (y_idx * h) // desth + field_offset
-    # C clamps sy to h, i.e. reads one row PAST the image (UB); we clamp to
-    # the last valid row — identical whenever the C read is defined.
+    y_idx = jnp.arange(desth, dtype=jnp.int32)[None, :]
+    field_offset = cdiv(cdiv(field * h + desth, desth), 2)[:, None]
+    sy = (y_idx * h) // desth + field_offset             # (B, desth)
+    # C clamps sy to h (reads one row past the image, UB); we use last row
     sy = jnp.minimum(sy, h - 1)
-    x_idx = np.arange(destw, dtype=np.int32)
-    sx = (x_idx * w) // destw
-
-    # nearest-neighbor resample as one-hot MXU matmuls (ops/fastpath.py)
-    rows = fastpath.select_rows(img_u8, sy)                   # (desth, w, 3)
-    pix = fastpath.select_cols_static(rows.astype(jnp.uint8), sx)
-    rA, gA, bA = pix[..., 0], pix[..., 1], pix[..., 2]
-
-    # RGB -> YIQ (crt_ntsc.c:307-310)
-    fy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
-    fi = (39059 * rA - 18022 * gA - 21103 * bA) >> 14
-    fq = (13894 * rA - 34275 * gA + 20382 * bA) >> 14
+    pix = _resample(cfg, img_u8, sy, destw)
+    fy, fi, fq = _rgb_to_yiq(pix)
 
     if cfg.do_bandlimiting:
-        cY = filters.init_iir(cfg.l_freq, cfg.y_freq)
-        cI = filters.init_iir(cfg.l_freq, cfg.i_freq)
-        cQ = filters.init_iir(cfg.l_freq, cfg.q_freq)
-        yiq = jnp.stack([fy, fi, fq], axis=1)                 # (desth, 3, destw)
-        coefs = jnp.asarray([cY, cI, cQ], jnp.int32)[None, :]  # vs state (desth, 3)
-        yiq = filters.iir_lowpass(yiq, coefs)
-        fy, fi, fq = yiq[:, 0], yiq[:, 1], yiq[:, 2]
+        fy, fi, fq = _bandlimit(cfg, fy, fi, fq)
 
-    xoff = (x_idx[None, :] + xo) % cfg.cc_samples             # (1, destw) traced
-    fi = (fi * ph * jnp.take(ccmodI, xoff)) >> 4              # crt_ntsc.c:316
-    fq = (fq * ph * jnp.take(ccmodQ, xoff)) >> 4
-    gain = cdiv(cfg.white_level * i32(white_point), 100)
-    ire = cfg.black_level + i32(black_point) + \
-        (((fy + fi + fq) * gain) >> 10)                        # crt_ntsc.c:318
-    ire = jnp.clip(ire, 0, 110).astype(jnp.int8)
-
-    analog = lax.dynamic_update_slice(analog, ire, (yo, xo))
+    # xoff pattern is static (xo static): periodic with offset xo % CC
+    mI = fastpath.tile_period(ccmodI, destw, xo % CC)[:, None, :]
+    mQ = fastpath.tile_period(ccmodQ, destw, xo % CC)[:, None, :]
+    fi = (fi * ph[:, None, None] * mI) >> 4              # crt_ntsc.c:316
+    fq = (fq * ph[:, None, None] * mQ) >> 4
+    ire = _ire_scale(cfg, fy, fi, fq, black_point, white_point)
+    analog = _store_active(analog, ire, xo, yo)
     return analog, ccf
-
-
-# ---------------------------------------------------------------------------
-# VHS wrapper: NTSC modulation + head-switch aberration (crt_ntscvhs.c)
-# ---------------------------------------------------------------------------
 
 
 def modulate_vhs(
     cfg: SystemConfig,
     analog: jax.Array,
     img: jax.Array,
-    randstate: jax.Array,     # crt_rand state (shared with decode noise)
+    randstate: jax.Array,     # (B,) crt_rand state (shared with decode noise)
     *,
-    field, frame, hue, as_color=1, xoffset=0, yoffset=0,
+    field, frame, hue, as_color=1, xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100, raw: bool = False,
     do_aberration=0,
 ):
-    """crt_ntscvhs.c:128-337.  Identical to the NTSC path except:
-    a random 6-17 line region at the bottom of the frame loses its sync tips
-    (head-switching emulation, :234-238), the caller must zero the persistent
-    hsync estimate each frame (:258-259, handled by pipeline.modulate), and
-    the ccf export is zeroed (:330-335).
+    """crt_ntscvhs.c:128-337.  Identical to the NTSC path except: a random
+    6-17 line region at the bottom loses its sync tips (head switching,
+    :234-238), the persistent hsync estimate is zeroed each frame (:258,
+    handled by pipeline.modulate), and the ccf export is zeroed (:330-335).
 
     Returns (analog', ccf_zero, randstate')."""
     from ntsc_crt_tpu.ops import lcg as _lcg
 
+    B = analog.shape[0]
     analog, _ = modulate_rgb(
         cfg, analog, img, field=field, frame=frame, hue=hue,
         as_color=as_color, xoffset=xoffset, yoffset=yoffset,
         black_point=black_point, white_point=white_point, raw=raw)
 
-    do_ab = i32(do_aberration) != 0
-    rv, rs_next = _lcg.crt_rand_stream(randstate, 1)
-    aberration = jnp.where(do_ab, (crem(rv[0], 12) - 8) + 14, 0)
-    randstate = jnp.where(do_ab, rs_next, i32(randstate))
+    do_ab = (_b(do_aberration, B) != 0)
+    rs = _b(randstate, B)
+    rs_next = _lcg.crt_rand_step(rs)
+    rv = _lcg.crt_rand_out(lax.bitcast_convert_type(rs_next, jnp.uint32))
+    aberration = jnp.where(do_ab, (crem(rv, 12) - 8) + 14, 0)
+    randstate = jnp.where(do_ab, rs_next, rs)
 
-    # blank out FP+SYNC of the bottom `aberration` video lines
     V, H = cfg.vres, cfg.hres
-    video_rows = np.ones(V, bool)
-    for lo, hi in (cfg.equ_a, cfg.sync_region, cfg.equ_b):
-        video_rows[lo:hi + 1] = False
-    rows = jnp.arange(V, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(H, dtype=jnp.int32)[None, :]
-    kill = (jnp.asarray(video_rows)[:, None]
-            & (rows >= (V - aberration))
+    rows = jnp.arange(V, dtype=jnp.int32)[None, :, None]
+    cols = jnp.arange(H, dtype=jnp.int32)[None, None, :]
+    kill = (jnp.asarray(video_rows_mask(cfg))[None, :, None]
+            & (rows >= (V - aberration[:, None, None]))
             & (cols < cfg.bw_beg))
     analog = jnp.where(kill, jnp.int8(cfg.blank_level), analog)
 
-    ccf = jnp.zeros((cfg.cc_vper, cfg.cc_samples), jnp.int32)
+    ccf = jnp.zeros((B, cfg.cc_vper, cfg.cc_samples), jnp.int32)
     return analog, ccf, randstate
 
 
@@ -317,107 +348,102 @@ def modulate_vper(
     analog: jax.Array,
     img: jax.Array,
     *,
-    field, frame, hue, as_color=1, xoffset=0, yoffset=0,
+    field, frame, hue, as_color=1, xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100, raw: bool = False,
     dot_crawl_offset=0,
 ) -> tuple[jax.Array, jax.Array]:
     """crt_snes.c:125-327 / crt_template.c:125-337 / crt_pv1k.c:121-321.
 
     Differences from the NTSC path: carrier/burst tables are 2D
-    [cc_vper][cc_samples] with a per-line vertical phase advance
-    (dot crawl), burst hue offset `(n - step + hue_offset)`, per-line table
-    row `(y + yo) % cc_vper` instead of a CC_PHASE sign flip, and xo aligned
-    to cc_samples (not &~3 — same thing for 4, different for PV1K's 5)."""
+    [cc_vper][cc_samples] with a per-line vertical phase advance (dot crawl),
+    burst hue offset `(n - step + hue_offset)`, per-line table row
+    `(y + yo) % cc_vper` instead of a CC_PHASE sign flip, and xo aligned to
+    cc_samples (same as &~3 for 4, different for PV1K's 5)."""
     assert cfg.kind == "rgb"
+    B = analog.shape[0]
     H, V, CC, VP = cfg.hres, cfg.vres, cfg.cc_samples, cfg.cc_vper
-    h, w = img.shape[0], img.shape[1]
+    h, w = img.shape[1], img.shape[2]
     img_u8 = jnp.asarray(img, jnp.uint8)
-    field = i32(field) & 1
-    hue = i32(hue)
-    dco = i32(dot_crawl_offset)
+    field = _b(field, B) & 1
+    hue = _b(hue, B)
+    dco = _b(dot_crawl_offset, B)
+    black_point = _b(black_point, B)
+    white_point = _b(white_point, B)
 
     destw, desth = _dest_size(cfg, raw, w, h)
-    xo = cfg.av_beg + i32(xoffset) + (cfg.av_len - destw) // 2
+    xo = cfg.av_beg + xoffset + (cfg.av_len - destw) // 2
+    xo = xo - (xo % CC)                                  # crt_snes.c:201
     yo = cfg.top + yoffset + (cfg.lines - desth) // 2
-    xo = xo - crem(xo, CC)  # align signal (crt_snes.c:201)
 
-    # 2D carrier tables (crt_snes.c:170-188)
+    # 2D carrier tables (B, VP, CC) (crt_snes.c:170-188)
     step = 360 // CC
-    yv = jnp.arange(VP, dtype=jnp.int32)[:, None]
-    xv = jnp.arange(CC, dtype=jnp.int32)[None, :]
-    vert = (yv + dco) * cfg.vert_step
-    n_ang = vert + hue + xv * step
+    yv = jnp.arange(VP, dtype=jnp.int32)[None, :, None]
+    xv = jnp.arange(CC, dtype=jnp.int32)[None, None, :]
+    vert = (yv + dco[:, None, None]) * cfg.vert_step
+    n_ang = vert + hue[:, None, None] + xv * step
     b_sn, _ = sincos14(cdiv((n_ang - step + cfg.hue_offset) * 8192, 180))
     i_sn, _ = sincos14(cdiv(n_ang * 8192, 180))
     q_sn, _ = sincos14(cdiv((n_ang + cfg.q_offset) * 8192, 180))
-    on = (i32(as_color) != 0)
-    ccburst = jnp.where(on, b_sn >> 10, 0)                # (VP, CC)
+    on = (_b(as_color, B) != 0)[:, None, None]
+    ccburst = jnp.where(on, b_sn >> 10, 0)
     ccmodI = jnp.where(on, i_sn >> 10, 0)
     ccmodQ = jnp.where(on, q_sn >> 10, 0)
 
-    # skeleton + per-line-phase burst
     skel_even, skel_odd, mask = build_skeletons(cfg)
-    skel = jnp.where(field == 1, jnp.asarray(skel_odd), jnp.asarray(skel_even))
-    analog = jnp.where(jnp.asarray(mask), skel, analog)
+    skel = jnp.where((field == 1)[:, None, None],
+                     jnp.asarray(skel_odd), jnp.asarray(skel_even))
+    analog = jnp.where(jnp.asarray(mask)[None], skel, analog)
 
-    video_rows = np.ones(V, bool)
-    for lo, hi in (cfg.equ_a, cfg.sync_region, cfg.equ_b):
-        video_rows[lo:hi + 1] = False
-    t = jnp.arange(cfg.burst_len, dtype=jnp.int32) + cfg.cb_beg
-    row_cls = crem(jnp.arange(V, dtype=jnp.int32), VP)    # (V,)
-    burst_vals = (cfg.blank_level +
-                  ccburst[row_cls][:, crem(t, CC)] * cfg.burst_level) >> 5
-    seg = analog[:, cfg.cb_beg:cfg.cb_beg + cfg.burst_len]
-    seg = jnp.where(jnp.asarray(video_rows)[:, None],
-                    burst_vals.astype(jnp.int8), seg)
-    analog = analog.at[:, cfg.cb_beg:cfg.cb_beg + cfg.burst_len].set(seg)
+    # burst: row class n % VP, sample class t % CC — both static patterns
+    t = np.arange(cfg.burst_len, dtype=np.int64) + cfg.cb_beg
+    row_cls = np.arange(V, dtype=np.int64) % VP
+    # ccburst[b, row_cls[n], t % CC] via static one-hot einsum
+    sel = np.zeros((V, cfg.burst_len, VP, CC), np.float32)
+    sel[np.arange(V)[:, None], np.arange(cfg.burst_len)[None, :],
+        row_cls[:, None], (t % CC)[None, :]] = 1
+    dt = fastpath._mm_dtype()
+    burst_cb = jnp.einsum("bvc,ntvc->bnt", ccburst.astype(dt),
+                          jnp.asarray(sel, dt),
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+    burst_vals = (cfg.blank_level + burst_cb * cfg.burst_level) >> 5  # (B,V,blen)
+    vrows = jnp.asarray(video_rows_mask(cfg))[None, :, None]
+    seg = analog[:, :, cfg.cb_beg:cfg.cb_beg + cfg.burst_len]
+    seg = jnp.where(vrows, burst_vals.astype(jnp.int8), seg)
+    analog = analog.at[:, :, cfg.cb_beg:cfg.cb_beg + cfg.burst_len].set(seg)
 
-    # iccf export: iccf[(n+3) % VPER][t % CC] written from class n % VPER
-    # (crt_snes.c:239); all lines of a class carry identical burst values
-    m = jnp.arange(VP, dtype=jnp.int32)
-    src_cls = posmod(m - 3, VP)
-    iccf = (cfg.blank_level +
-            jnp.take(ccburst, src_cls, axis=0) * cfg.burst_level) >> 5
+    # iccf[(n+3) % VP][k] written from class n % VP (crt_snes.c:239)
+    src = np.asarray([(m - 3) % VP for m in range(VP)])
+    iccf = (cfg.blank_level + ccburst[:, jnp.asarray(src), :]
+            * cfg.burst_level) >> 5
     ccf = (iccf << 7).astype(jnp.int32)
 
     # active video
-    y_idx = jnp.arange(desth, dtype=jnp.int32)
+    y_idx = jnp.arange(desth, dtype=jnp.int32)[None, :]
     if cfg.interlace_offset:
-        field_offset = cdiv(cdiv(field * h + desth, desth), 2)
+        field_offset = cdiv(cdiv(field * h + desth, desth), 2)[:, None]
     else:
-        field_offset = jnp.zeros((), jnp.int32)           # SNES: field unused
-    sy = (y_idx * h) // desth + field_offset
-    sy = jnp.minimum(sy, h - 1)
-    x_idx = np.arange(destw, dtype=np.int32)
-    sx = (x_idx * w) // destw
-
-    rows = fastpath.select_rows(img_u8, sy)
-    pix = fastpath.select_cols_static(rows.astype(jnp.uint8), sx)
-    rA, gA, bA = pix[..., 0], pix[..., 1], pix[..., 2]
-    fy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
-    fi = (39059 * rA - 18022 * gA - 21103 * bA) >> 14
-    fq = (13894 * rA - 34275 * gA + 20382 * bA) >> 14
-
+        field_offset = jnp.zeros((B, 1), jnp.int32)      # SNES: field unused
+    sy = jnp.minimum((y_idx * h) // desth + field_offset, h - 1)
+    pix = _resample(cfg, img_u8, sy, destw)
+    fy, fi, fq = _rgb_to_yiq(pix)
     if cfg.do_bandlimiting:
-        cY = filters.init_iir(cfg.l_freq, cfg.y_freq)
-        cI = filters.init_iir(cfg.l_freq, cfg.i_freq)
-        cQ = filters.init_iir(cfg.l_freq, cfg.q_freq)
-        yiq = jnp.stack([fy, fi, fq], axis=1)
-        coefs = jnp.asarray([cY, cI, cQ], jnp.int32)[None, :]
-        yiq = filters.iir_lowpass(yiq, coefs)
-        fy, fi, fq = yiq[:, 0], yiq[:, 1], yiq[:, 2]
+        fy, fi, fq = _bandlimit(cfg, fy, fi, fq)
 
-    # gather per (y, x): ccmod[ph_row[y], xoff[x]]  (crt_snes.c:310-311)
-    ph_row = crem(y_idx + yo, VP)                          # (desth,)
-    xoff = crem(x_idx[None, :] + xo, CC)                   # (1, destw)
-    sel = (jnp.arange(desth)[:, None], jnp.broadcast_to(xoff, (desth, destw)))
-    fi = (fi * jnp.take(ccmodI, ph_row, axis=0)[sel]) >> 4
-    fq = (fq * jnp.take(ccmodQ, ph_row, axis=0)[sel]) >> 4
-    gain = cdiv(cfg.white_level * i32(white_point), 100)
-    ire = cfg.black_level + i32(black_point) + (((fy + fi + fq) * gain) >> 10)
-    ire = jnp.clip(ire, 0, 110).astype(jnp.int8)
-
-    analog = lax.dynamic_update_slice(analog, ire, (yo, xo))
+    # ccmod[ph_row[y], xoff[x]]: ph_row static ((y+yo)%VP), xoff static
+    ph_row = (np.arange(desth, dtype=np.int64) + yo) % VP
+    xoff = (np.arange(destw, dtype=np.int64) + xo) % CC
+    sel2 = np.zeros((desth, destw, VP, CC), np.float32)
+    sel2[np.arange(desth)[:, None], np.arange(destw)[None, :],
+         ph_row[:, None], xoff[None, :]] = 1
+    sel2j = jnp.asarray(sel2, dt)
+    mI = jnp.einsum("bvc,ydvc->byd", ccmodI.astype(dt), sel2j,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    mQ = jnp.einsum("bvc,ydvc->byd", ccmodQ.astype(dt), sel2j,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    fi = (fi * mI) >> 4                                  # crt_snes.c:310-311
+    fq = (fq * mQ) >> 4
+    ire = _ire_scale(cfg, fy, fi, fq, black_point, white_point)
+    analog = _store_active(analog, ire, xo, yo)
     return analog, ccf
 
 
@@ -431,70 +457,76 @@ def modulate_nesrgb(
     analog: jax.Array,
     img: jax.Array,
     *,
-    hue, dot_crawl_offset=0, xoffset=0, yoffset=0,
+    hue, dot_crawl_offset=0, xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100,
 ) -> tuple[jax.Array, jax.Array]:
     """crt_nesrgb.c:49-170.  NES-style skeleton (reapplied every call —
     idempotent, equivalent to the reference's run-once setup_field since the
     active region is rewritten each frame), burst only on active lines,
     carrier tables exclude hue (burst angle hue+90+n+33), no IIR."""
+    B = analog.shape[0]
     H, V, CC, VP = cfg.hres, cfg.vres, cfg.cc_samples, cfg.cc_vper
-    h, w = img.shape[0], img.shape[1]
+    h, w = img.shape[1], img.shape[2]
     img_u8 = jnp.asarray(img, jnp.uint8)
-    hue = i32(hue)
-    dco = i32(dot_crawl_offset)
+    hue = _b(hue, B)
+    dco = _b(dot_crawl_offset, B)
+    black_point = _b(black_point, B)
+    white_point = _b(white_point, B)
 
-    destw, desth = cfg.av_len, cfg.lines                  # crt_nesrgb.c:53-54
-    xo = (cfg.av_beg + i32(xoffset)) & ~3
+    destw, desth = cfg.av_len, cfg.lines                 # crt_nesrgb.c:53-54
+    xo = (cfg.av_beg + xoffset) & ~3
     yo = cfg.top + yoffset
 
     step = 360 // CC
-    yv = jnp.arange(VP, dtype=jnp.int32)[:, None]
-    xv = jnp.arange(CC, dtype=jnp.int32)[None, :]
-    n_ang = (yv + dco) * cfg.vert_step + xv * step        # no hue in mod tables
-    b_sn, _ = sincos14(cdiv((hue + 90 + n_ang + 33) * 8192, 180))
+    yv = jnp.arange(VP, dtype=jnp.int32)[None, :, None]
+    xv = jnp.arange(CC, dtype=jnp.int32)[None, None, :]
+    n_ang = (yv + dco[:, None, None]) * cfg.vert_step + xv * step
+    b_sn, _ = sincos14(cdiv((hue[:, None, None] + 90 + n_ang + 33) * 8192, 180))
     i_sn, _ = sincos14(cdiv(n_ang * 8192, 180))
     q_sn, _ = sincos14(cdiv((n_ang - 90) * 8192, 180))
     ccburst, ccmodI, ccmodQ = b_sn >> 10, i_sn >> 10, q_sn >> 10
 
-    analog = jnp.asarray(build_skeleton_nes(cfg))         # full-field rewrite
+    analog = jnp.broadcast_to(jnp.asarray(build_skeleton_nes(cfg))[None],
+                              (B, V, H))
 
     # burst + iccf on active rows only (crt_nesrgb.c:104-109)
-    y_idx = jnp.arange(desth, dtype=jnp.int32)
-    row_cls = crem(y_idx + yo, VP)                        # (desth,)
-    t = jnp.arange(cfg.burst_len, dtype=jnp.int32) + cfg.cb_beg
-    burst_vals = (cfg.blank_level +
-                  jnp.take(ccburst, row_cls, axis=0)[:, crem(t, CC)]
-                  * cfg.burst_level) >> 5                  # (desth, blen)
-    analog = lax.dynamic_update_slice(
-        analog, burst_vals.astype(jnp.int8), (yo, cfg.cb_beg))
+    dt = fastpath._mm_dtype()
+    t = np.arange(cfg.burst_len, dtype=np.int64) + cfg.cb_beg
+    row_cls = (np.arange(desth, dtype=np.int64) + yo) % VP
+    sel = np.zeros((desth, cfg.burst_len, VP, CC), np.float32)
+    sel[np.arange(desth)[:, None], np.arange(cfg.burst_len)[None, :],
+        row_cls[:, None], (t % CC)[None, :]] = 1
+    burst_cb = jnp.einsum("bvc,ytvc->byt", ccburst.astype(dt),
+                          jnp.asarray(sel, dt),
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+    burst_vals = ((cfg.blank_level + burst_cb * cfg.burst_level) >> 5)
+    analog = analog.at[:, yo:yo + desth,
+                       cfg.cb_beg:cfg.cb_beg + cfg.burst_len].set(
+        burst_vals.astype(jnp.int8))
 
-    kk = jnp.arange(CC, dtype=jnp.int32)[None, :]
-    iccf = (cfg.blank_level +
-            jnp.take(ccburst, crem(jnp.arange(VP, dtype=jnp.int32), VP),
-                     axis=0) * cfg.burst_level) >> 5
+    iccf = (cfg.blank_level + ccburst * cfg.burst_level) >> 5  # class m == m
     ccf = (iccf << 7).astype(jnp.int32)
-    del kk
 
+    y_idx = jnp.arange(desth, dtype=jnp.int32)[None, :]
     sy = jnp.clip((y_idx * h) // desth, 0, h - 1)
-    x_idx = np.arange(destw, dtype=np.int32)
-    sx = (x_idx * w) // destw
-    rows = fastpath.select_rows(img_u8, sy)
-    pix = fastpath.select_cols_static(rows.astype(jnp.uint8), sx)
-    rA, gA, bA = pix[..., 0], pix[..., 1], pix[..., 2]
-    fy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
-    fi = (39059 * rA - 18022 * gA - 21103 * bA) >> 14
-    fq = (13894 * rA - 34275 * gA + 20382 * bA) >> 14
+    sy = jnp.broadcast_to(sy, (B, desth))
+    pix = _resample(cfg, img_u8, sy, destw)
+    fy, fi, fq = _rgb_to_yiq(pix)
 
-    xoff = crem(x_idx[None, :] + xo, CC)
-    sel = (jnp.arange(desth)[:, None], jnp.broadcast_to(xoff, (desth, destw)))
-    fi = (fi * jnp.take(ccmodI, row_cls, axis=0)[sel]) >> 4
-    fq = (fq * jnp.take(ccmodQ, row_cls, axis=0)[sel]) >> 4
-    gain = cdiv(cfg.white_level * i32(white_point), 100)
-    ire = cfg.black_level + i32(black_point) + (((fy + fi + fq) * gain) >> 10)
-    ire = jnp.clip(ire, 0, 110).astype(jnp.int8)
-
-    analog = lax.dynamic_update_slice(analog, ire, (yo, xo))
+    ph_row = (np.arange(desth, dtype=np.int64) + yo) % VP
+    xoff = (np.arange(destw, dtype=np.int64) + xo) % CC
+    sel2 = np.zeros((desth, destw, VP, CC), np.float32)
+    sel2[np.arange(desth)[:, None], np.arange(destw)[None, :],
+         ph_row[:, None], xoff[None, :]] = 1
+    sel2j = jnp.asarray(sel2, dt)
+    mI = jnp.einsum("bvc,ydvc->byd", ccmodI.astype(dt), sel2j,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    mQ = jnp.einsum("bvc,ydvc->byd", ccmodQ.astype(dt), sel2j,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    fi = (fi * mI) >> 4                                  # crt_nesrgb.c:155-156
+    fq = (fq * mQ) >> 4
+    ire = _ire_scale(cfg, fy, fi, fq, black_point, white_point)
+    analog = _store_active(analog, ire, xo, yo)
     return analog, ccf
 
 
@@ -522,16 +554,10 @@ def _nes_square_table() -> np.ndarray:
         hue = p & 0x0F
         for phase in range(12):
             if hue >= 0x0E:
-                tab[p, phase] = 0
                 continue
             v = int(((hue + phase) % 12) < 6)
             e = int(((p & 0o700) & _NES_ACTIVE[(phase >> 1) % 6]) > 0)
-            if hue == 0x00:
-                l = 1
-            elif hue == 0x0D:
-                l = 0
-            else:
-                l = v
+            l = 1 if hue == 0x00 else (0 if hue == 0x0D else v)
             tab[p, phase] = int(_NES_IRE[(l << 3) + (e << 2) + ((p >> 4) & 3)])
     return tab
 
@@ -545,66 +571,101 @@ def _wrap_i8(x: jax.Array) -> jax.Array:
 def modulate_nes(
     cfg: SystemConfig,
     analog: jax.Array,
-    ppu: jax.Array,           # uint16 (h, w) NES PPU pixels (6 or 9 bit)
+    ppu: jax.Array,           # uint16 (B, h, w) NES PPU pixels (6 or 9 bit)
     *,
-    hue, dot_crawl_offset=0, xoffset=0, yoffset=0,
+    hue, dot_crawl_offset=0, xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100,
 ) -> tuple[jax.Array, jax.Array]:
     """crt_nes.c:106-201 (the optimized path; bit-identical output).
 
-    Square-wave synthesis: each output sample sums 4 table lookups at
-    consecutive subcarrier phases, with phase advancing 3 per PPU pixel and a
-    3-line dot-crawl phase table."""
+    Square-wave synthesis, gather-free: pixel indices one-hot matmul against
+    the 512x12 square table (f32-exact: |IRE| < 2^24), then the four
+    consecutive-phase taps reduce to a per-(row, x%4) 12-wide mask dot."""
     assert cfg.kind == "nes"
+    B = analog.shape[0]
     H, V, CC, VP = cfg.hres, cfg.vres, cfg.cc_samples, cfg.cc_vper
-    h, w = ppu.shape[0], ppu.shape[1]
+    h, w = ppu.shape[1], ppu.shape[2]
     ppu = jnp.asarray(ppu, jnp.int32) & 0x1FF
-    hue = i32(hue)
-    dco = i32(dot_crawl_offset)
+    hue = _b(hue, B)
+    dco = _b(dot_crawl_offset, B)
+    black_point = _b(black_point, B)
+    white_point = _b(white_point, B)
 
     destw, desth = cfg.av_len, cfg.lines
-    xo = (cfg.av_beg + i32(xoffset)) & ~3
+    xo = (cfg.av_beg + xoffset) & ~3
     yo = cfg.top + yoffset
 
     # burst table (crt_nes.c:123-130): note the % 360 before the angle scale
-    yv = jnp.arange(VP, dtype=jnp.int32)[:, None]
-    xv = jnp.arange(CC, dtype=jnp.int32)[None, :]
-    n_ang = crem(hue + xv * (360 // CC) + (yv + dco) * cfg.vert_step + 33, 360)
+    yv = jnp.arange(VP, dtype=jnp.int32)[None, :, None]
+    xv = jnp.arange(CC, dtype=jnp.int32)[None, None, :]
+    n_ang = crem(hue[:, None, None] + xv * (360 // CC)
+                 + (yv + dco[:, None, None]) * cfg.vert_step + 33, 360)
     b_sn, _ = sincos14(cdiv(n_ang * 8192, 180))
     ccburst = b_sn >> 10
 
-    analog = jnp.asarray(build_skeleton_nes(cfg))
+    analog = jnp.broadcast_to(jnp.asarray(build_skeleton_nes(cfg))[None],
+                              (B, V, H))
 
-    y_idx = jnp.arange(desth, dtype=jnp.int32)
-    row_cls = crem(y_idx + yo, VP)
-    t = jnp.arange(cfg.burst_len, dtype=jnp.int32) + cfg.cb_beg
-    burst_vals = (cfg.blank_level +
-                  jnp.take(ccburst, row_cls, axis=0)[:, crem(t, CC)]
-                  * cfg.burst_level) >> 5
-    analog = lax.dynamic_update_slice(
-        analog, burst_vals.astype(jnp.int8), (yo, cfg.cb_beg))
+    dt = fastpath._mm_dtype()
+    t = np.arange(cfg.burst_len, dtype=np.int64) + cfg.cb_beg
+    row_cls = (np.arange(desth, dtype=np.int64) + yo) % VP
+    sel = np.zeros((desth, cfg.burst_len, VP, CC), np.float32)
+    sel[np.arange(desth)[:, None], np.arange(cfg.burst_len)[None, :],
+        row_cls[:, None], (t % CC)[None, :]] = 1
+    burst_cb = jnp.einsum("bvc,ytvc->byt", ccburst.astype(dt),
+                          jnp.asarray(sel, dt),
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+    burst_vals = (cfg.blank_level + burst_cb * cfg.burst_level) >> 5
+    analog = analog.at[:, yo:yo + desth,
+                       cfg.cb_beg:cfg.cb_beg + cfg.burst_len].set(
+        burst_vals.astype(jnp.int8))
 
-    iccf = (cfg.blank_level +
-            jnp.take(ccburst, crem(jnp.arange(VP, dtype=jnp.int32), VP),
-                     axis=0) * cfg.burst_level) >> 5
+    iccf = (cfg.blank_level + ccburst * cfg.burst_level) >> 5
     ccf = (iccf << 7).astype(jnp.int32)
 
-    # active video: 4 square samples per output pixel, phase += 3 per pixel
-    sy = jnp.clip((y_idx * h) // desth, 0, h - 1)
-    x_idx = np.arange(destw, dtype=np.int32)
-    sx = jnp.asarray((x_idx * w) // destw)
-    p = jnp.take(jnp.take(ppu, sy, axis=0), sx, axis=1)   # (desth, destw)
+    # active video: nearest-neighbor resample of PPU indices via one-hot
+    # f32 matmuls (indices < 512 are f32-exact), then square_sample
+    # (crt_nes.c:21-61) evaluated arithmetically — elementwise ops and
+    # small masked reductions only, no table gathers.
+    y_idx = np.arange(desth, dtype=np.int64)
+    sy = np.minimum((y_idx * h) // desth, h - 1)         # static (progressive)
+    sx = (np.arange(destw, dtype=np.int64) * w) // destw
+    rsel = np.zeros((desth, h), np.float32)
+    rsel[np.arange(desth), sy] = 1
+    csel = np.zeros((w, destw), np.float32)
+    csel[sx, np.arange(destw)] = 1
+    p = jnp.einsum("yh,bhw,wd->byd", jnp.asarray(rsel),
+                   ppu.astype(jnp.float32), jnp.asarray(csel),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
 
     phasetab = jnp.asarray(_NES_PHASETAB, jnp.int32)
-    ph0 = jnp.take(phasetab, crem(y_idx + yo + dco, VP))  # (desth,)
-    phx = ph0[:, None] + 3 * jnp.asarray(x_idx)[None, :]  # (desth, destw)
+    ph0 = fastpath.onehot_pick(
+        jnp.broadcast_to(phasetab[None, None, :], (B, desth, VP)),
+        crem(jnp.arange(desth, dtype=jnp.int32)[None, :] + yo
+             + dco[:, None], VP))                        # (B, desth)
+    xphase = 3 * jnp.asarray(np.arange(destw, dtype=np.int64) % 4,
+                             jnp.int32)[None, None, :]
+    hue_p = p & 0x0F
+    lum = (p >> 4) & 3
+    emph = p & 0o700
+    active = jnp.asarray(_NES_ACTIVE, jnp.int32)
+    ire_tab = jnp.asarray(_NES_IRE, jnp.int32)
 
-    sq = jnp.asarray(_nes_square_table())                 # (512, 12)
-    flat = p * 12                                          # row base into sq
-    sqf = sq.reshape(-1)
-    ire = jnp.zeros_like(p) + cfg.black_level + i32(black_point)
+    ire = jnp.zeros_like(p)
     for j in range(4):
-        ire = ire + jnp.take(sqf, flat + crem(phx + j, 12))
-    ire = cdiv(ire * i32(white_point), 100) >> 12          # crt_nes.c:190
-    analog = lax.dynamic_update_slice(analog, _wrap_i8(ire), (yo, xo))
+        phase = crem(ph0[..., None] + xphase + j, 12)    # (B, desth, destw)
+        v = (crem(hue_p + phase, 12) < 6).astype(jnp.int32)
+        act = fastpath.onehot_pick(
+            jnp.broadcast_to(active[None, None, None, :],
+                             phase.shape + (6,)), (phase >> 1) % 6)
+        e = ((emph & act) > 0).astype(jnp.int32)
+        l = jnp.where(hue_p == 0x00, 1, jnp.where(hue_p == 0x0D, 0, v))
+        idx = (l << 3) + (e << 2) + lum
+        samp = fastpath.onehot_pick(
+            jnp.broadcast_to(ire_tab[None, None, None, :],
+                             idx.shape + (16,)), idx)
+        ire = ire + jnp.where(hue_p >= 0x0E, 0, samp)    # black columns
+    ire = cfg.black_level + black_point[:, None, None] + ire
+    ire = cdiv(ire * white_point[:, None, None], 100) >> 12  # crt_nes.c:190
+    analog = analog.at[:, yo:yo + desth, xo:xo + destw].set(_wrap_i8(ire))
     return analog, ccf

@@ -1,11 +1,14 @@
 """CRT state pytree and the modulate->demodulate frame step.
 
-The reference's entire runtime state is `struct CRT` (crt_core.h:74-92): two
-signal buffers, monitor knobs, carrier-convergence accumulator, sync
-estimates and the noise PRNG seed.  Here that state is an explicit, immutable
-pytree threaded through pure functions — trivially serializable (checkpoint/
-resume of a video pipeline is a jnp save), vmappable over a frame batch, and
-shardable over a device mesh (parallel/).
+The reference's entire runtime state is `struct CRT` (crt_core.h:74-92).
+Here that state is an explicit, immutable pytree threaded through pure
+functions — trivially serializable (checkpoint/resume of a video pipeline is
+a jnp save) and shardable over a device mesh (parallel/).
+
+The compute cores are **batch-first** (a leading frame-batch dim on every
+tensor, no vmap — see models/modulate.py).  This module accepts either a
+batched state (analog (B, VRES, HRES)) or a single-frame state
+(analog (VRES, HRES)), lifting the latter to a batch of one.
 """
 
 from __future__ import annotations
@@ -24,19 +27,20 @@ from ntsc_crt_tpu.models.demodulate import MonitorParams
 
 class CRTState(NamedTuple):
     """Persistent cross-frame decoder/encoder state (crt_core.h:74-92)."""
-    analog: jax.Array         # int8 (VRES, HRES) — modulated signal
-    out: jax.Array            # uint8 (outh, outw, 3) — canonical RGB output
-    ccf: jax.Array            # int32 (cc_vper, cc_samples) — carrier EMA
-    hsync: jax.Array          # int32 scalar
-    vsync: jax.Array          # int32 scalar
-    rn: jax.Array             # int32 scalar — noise LCG state
-    randstate: jax.Array      # int32 scalar — crt_rand state (VHS paths)
+    analog: jax.Array         # int8 [B,] VRES, HRES — modulated signal
+    out: jax.Array            # uint8 [B,] outh, outw, 3 — canonical RGB
+    ccf: jax.Array            # int32 [B,] cc_vper, cc_samples — carrier EMA
+    hsync: jax.Array          # int32 [B]
+    vsync: jax.Array          # int32 [B]
+    rn: jax.Array             # int32 [B] — noise LCG state
+    randstate: jax.Array      # int32 [B] — crt_rand state (VHS paths)
 
 
 def crt_init(cfg: SystemConfig, outw: int, outh: int,
-             rand_seed: int = 1) -> CRTState:
-    """Fresh zeroed state; rn seeded to 194 like crt_init (crt_core.c:269)."""
-    return CRTState(
+             rand_seed: int = 1, batch: Optional[int] = None) -> CRTState:
+    """Fresh zeroed state; rn seeded to 194 like crt_init (crt_core.c:269).
+    batch=None gives a single-frame state (no leading batch dim)."""
+    state = CRTState(
         analog=jnp.zeros((cfg.vres, cfg.hres), jnp.int8),
         out=jnp.zeros((outh, outw, 3), jnp.uint8),
         ccf=jnp.zeros((cfg.cc_vper, cfg.cc_samples), jnp.int32),
@@ -45,15 +49,34 @@ def crt_init(cfg: SystemConfig, outw: int, outh: int,
         rn=jnp.full((), 194, jnp.int32),
         randstate=jnp.full((), rand_seed, jnp.int32),
     )
+    if batch is not None:
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state)
+    return state
+
+
+def _lift(state: CRTState, img):
+    """(state, img, batched?) with a guaranteed leading batch dim."""
+    if state.analog.ndim == 3:
+        return state, img, True
+    state = jax.tree.map(lambda x: x[None], state)
+    return state, (img[None] if img is not None else None), False
+
+
+def _unlift(state: CRTState, batched: bool) -> CRTState:
+    if batched:
+        return state
+    return jax.tree.map(lambda x: x[0], state)
 
 
 def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
              field=0, frame=0, hue=0, as_color=1, xoffset=0, yoffset=0,
              black_point=0, white_point=100, raw: bool = False,
              dot_crawl_offset=0, do_aberration=0) -> CRTState:
-    """Encode one frame into the analog buffer (crt_modulate equivalent).
+    """Encode one frame (or batch of frames) into the analog buffer.
     Dispatches to the per-system encoder family like the reference's
     CRT_SYSTEM compile switch (crt_core.h:38-59)."""
+    state, img, batched = _lift(state, img)
     if cfg.name == "NTSCVHS":
         analog, ccf, randstate = _mod.modulate_vhs(
             cfg, state.analog, img, state.randstate, field=field, frame=frame,
@@ -61,8 +84,9 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
             black_point=black_point, white_point=white_point, raw=raw,
             do_aberration=do_aberration)
         # reset hsync each frame so only the bottom warps (crt_ntscvhs.c:258)
-        return state._replace(analog=analog, ccf=ccf, randstate=randstate,
-                              hsync=jnp.zeros((), jnp.int32))
+        state = state._replace(analog=analog, ccf=ccf, randstate=randstate,
+                               hsync=jnp.zeros_like(state.hsync))
+        return _unlift(state, batched)
     if cfg.name == "NES":
         analog, ccf = _mod.modulate_nes(
             cfg, state.analog, img, hue=hue, dot_crawl_offset=dot_crawl_offset,
@@ -84,7 +108,7 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
             cfg, state.analog, img, field=field, frame=frame, hue=hue,
             as_color=as_color, xoffset=xoffset, yoffset=yoffset,
             black_point=black_point, white_point=white_point, raw=raw)
-    return state._replace(analog=analog, ccf=ccf)
+    return _unlift(state._replace(analog=analog, ccf=ccf), batched)
 
 
 def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
@@ -92,15 +116,17 @@ def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
                v_fac: int = 0) -> CRTState:
     """Decode the analog buffer into the output image (crt_demodulate)."""
     mon = mon or MonitorParams()
+    state, _, batched = _lift(state, None)
     out, new = _dem.demodulate_core(
         cfg, state.analog, state.out, state.hsync, state.vsync, state.ccf,
         state.rn, noise, mon, randstate=state.randstate, v_fac=v_fac)
     randstate = new["randstate"]
     if randstate is None:
         randstate = state.randstate
-    return state._replace(out=out, ccf=new["ccf"], hsync=new["hsync"],
-                          vsync=new["vsync"], rn=new["rn"],
-                          randstate=randstate)
+    state = state._replace(out=out, ccf=new["ccf"], hsync=new["hsync"],
+                           vsync=new["vsync"], rn=new["rn"],
+                           randstate=randstate)
+    return _unlift(state, batched)
 
 
 def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,

@@ -145,3 +145,26 @@ def select_cols_static(data: jax.Array, idx) -> jax.Array:
     out = jnp.einsum("...wc,wd->...dc", x, oh,
                      preferred_element_type=jnp.float32)
     return out.astype(jnp.int32)
+
+
+def select_rows_batched(data: jax.Array, idx: jax.Array) -> jax.Array:
+    """data[b, idx[b, m]] for uint8-range data (B, N, ...) and traced idx
+    (B, M) — batched one-hot matmul, no gather."""
+    B, N = data.shape[0], data.shape[1]
+    dt = _mm_dtype()
+    flat = data.reshape(B, N, -1).astype(dt)
+    oh = (idx[..., None] == jnp.arange(N, dtype=jnp.int32)).astype(dt)
+    out = jnp.einsum("bmn,bnk->bmk", oh, flat,
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32).reshape(idx.shape + data.shape[2:])
+
+
+def onehot_pick(vals: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[...] = vals[..., idx[...]] for a small last dim P (<= ~8), as a
+    sum of P masked broadcasts — no gather.  vals: (..., P) broadcastable
+    against idx's shape."""
+    P = vals.shape[-1]
+    out = jnp.zeros(jnp.broadcast_shapes(idx.shape, vals.shape[:-1]), jnp.int32)
+    for k in range(P):
+        out = out + jnp.where(idx == k, vals[..., k], 0)
+    return out

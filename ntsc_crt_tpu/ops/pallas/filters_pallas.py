@@ -38,8 +38,8 @@ from ntsc_crt_tpu.ops.fixedpoint import EXP_P
 LANE = 128
 # tuned on TPU v5e (see bench history): sublanes per block, serial unroll,
 # time-block size
-EQ_SUB, EQ_K, EQ_TB = 16, 16, 256
-IIR_SUB, IIR_K, IIR_TB = 16, 16, 256
+EQ_SUB, EQ_K, EQ_TB = 16, 32, 256
+IIR_SUB, IIR_K, IIR_TB = 16, 32, 256
 
 
 def _eq_kernel(x_ref, lf_ref, hf_ref, g0_ref, g1_ref, g2_ref, y_ref, st_ref,

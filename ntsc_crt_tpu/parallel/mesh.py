@@ -53,37 +53,33 @@ def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1,
 def init_batch(cfg: SystemConfig, batch: int, outw: int, outh: int,
                mesh: Optional[Mesh] = None) -> pipeline.CRTState:
     """A batch of per-slot CRT states, optionally sharded over `data`."""
-    one = pipeline.crt_init(cfg, outw, outh)
-    states = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+    states = pipeline.crt_init(cfg, outw, outh, batch=batch)
     # decorrelate noise streams across slots (each slot is its own CRT)
     states = states._replace(
         rn=jnp.arange(194, 194 + batch, dtype=jnp.int32),
         randstate=jnp.arange(1, 1 + batch, dtype=jnp.int32))
     if mesh is not None:
-        sh = NamedSharding(mesh, P(DATA_AXIS))
         states = jax.tree.map(lambda x: jax.device_put(
             x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))),
             states)
-        del sh
     return states
 
 
 def make_batched_step(cfg: SystemConfig, *, noise=0,
                       mon: Optional[MonitorParams] = None,
                       donate: bool = True):
-    """vmap of the full modulate+demodulate step over a frame batch.
+    """The full modulate+demodulate step over a frame batch (the cores are
+    natively batch-first — no vmap).
 
     Returns jitted fn(states, imgs, fields, frames, dcos) -> states.
     imgs: uint8 (B, h, w, 3) or uint16 (B, h, w) for NES.
     """
     mon = mon or MonitorParams()
 
-    def one(state, img, field, frame, dco):
-        return pipeline.step(cfg, state, img, field=field, frame=frame,
-                             noise=noise, mon=mon, dot_crawl_offset=dco)
+    def fn(states, imgs, fields, frames, dcos):
+        return pipeline.step(cfg, states, imgs, field=fields, frame=frames,
+                             noise=noise, mon=mon, dot_crawl_offset=dcos)
 
-    fn = jax.vmap(one)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
@@ -93,16 +89,10 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, *, noise=0,
 
     Frames (and their states) are sharded over `data`; each device runs its
     sub-batch locally.  With a non-trivial `spatial` axis, XLA additionally
-    splits the per-frame line-parallel phases via the sharding constraints
-    the decode path places on line-major intermediates.
+    splits the per-frame line-parallel phases (the batch x line dims of the
+    filter/conv/matmul stages) and inserts any ICI collectives itself.
     """
     mon = mon or MonitorParams()
-
-    def one(state, img, field, frame, dco):
-        return pipeline.step(cfg, state, img, field=field, frame=frame,
-                             noise=noise, mon=mon, dot_crawl_offset=dco)
-
-    fn = jax.vmap(one)
 
     def batch_spec(x):
         return NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
@@ -112,7 +102,8 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, *, noise=0,
             lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)),
             states)
         imgs = jax.lax.with_sharding_constraint(imgs, batch_spec(imgs))
-        out = fn(states, imgs, fields, frames, dcos)
+        out = pipeline.step(cfg, states, imgs, field=fields, frame=frames,
+                            noise=noise, mon=mon, dot_crawl_offset=dcos)
         return jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)), out)
 

@@ -24,7 +24,8 @@ def orc():
 
 def _run_ours(analog, img, **kw):
     fn = jax.jit(lambda a, im: modulate_rgb(NTSC, a, im, **kw))
-    return fn(analog, jnp.asarray(img))
+    analog2, ccf = fn(analog[None], jnp.asarray(img)[None])
+    return analog2[0], ccf[0]
 
 
 def test_modulate_field0(orc):
