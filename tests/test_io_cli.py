@@ -1,0 +1,91 @@
+"""Image I/O round trips, pixel-format packing, CLI end-to-end vs the
+reference CLI semantics (4-frame blend accumulation), analog dump."""
+
+import numpy as np
+import pytest
+
+from ntsc_crt_tpu.utils import imageio, formats
+
+
+def _img(seed, w=64, h=48):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+
+
+def test_ppm_roundtrip(tmp_path):
+    img = _img(0)
+    p = tmp_path / "x.ppm"
+    imageio.ppm_write(p, img)
+    np.testing.assert_array_equal(imageio.ppm_read(p), img)
+
+
+def test_ppm_maxval_rescale(tmp_path):
+    p = tmp_path / "lo.ppm"
+    img = np.clip(_img(1), 0, 63)
+    with open(p, "wb") as f:
+        f.write(b"P6\n# comment\n64 48\n63\n")
+        f.write(img.tobytes())
+    got = imageio.ppm_read(p)
+    want = ((img.astype(np.uint32) * 255 + 31) // 63).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bmp_roundtrip(tmp_path):
+    img = _img(2, w=33, h=21)  # odd width exercises row padding
+    p = tmp_path / "x.bmp"
+    imageio.bmp_write(p, img)
+    np.testing.assert_array_equal(imageio.bmp_read(p), img)
+
+
+def test_format_pack_unpack():
+    img = _img(3)
+    for fmt in range(6):
+        packed = formats.from_rgb(img, fmt)
+        assert packed.shape[-1] == formats.bpp(fmt)
+        np.testing.assert_array_equal(formats.to_rgb(packed, fmt), img)
+    assert formats.bpp(99) == 0
+
+
+def test_cli_matches_reference_cli(tmp_path):
+    """Full `ntsc -o 200 150 0 0 in.ppm out.ppm` vs the same sequence run
+    through the oracle (interlaced 4-frame accumulation, crt_main.c:241-255)."""
+    from ntsc_crt_tpu import cli
+    from oracle import Oracle
+
+    img = _img(4, w=96, h=72)
+    inp = tmp_path / "in.ppm"
+    outp = tmp_path / "out.ppm"
+    imageio.ppm_write(inp, img)
+    # outh >= CRT_LINES so the blend row-placement is in its exact regime
+    # (see demodulate._place_rows docstring)
+    rc = cli.main(["-o", "320", "240", "0", "0", str(inp), str(outp)])
+    assert rc == 0
+    got = imageio.ppm_read(outp)
+
+    orc = Oracle("NTSC", outw=320, outh=240)
+    orc.crt.blend = 1
+    orc.crt.scanlines = 1
+    field = frame = 0
+    for it in range(4):
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=0)
+        field ^= 1
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=0)
+        if (it & 1) == 0:
+            frame ^= 1
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_analog_dump(tmp_path):
+    from ntsc_crt_tpu import cli
+    img = _img(5)
+    inp = tmp_path / "in.ppm"
+    outp = tmp_path / "sig.ppm"
+    imageio.ppm_write(inp, img)
+    rc = cli.main(["-oa", "100", "80", "0", "0", str(inp), str(outp)])
+    assert rc == 0
+    sig = imageio.ppm_read(outp)
+    assert sig.shape == (262, 910, 3)
+    # grayscale: all channels equal; sync tips visible as dark bands
+    assert (sig[..., 0] == sig[..., 1]).all()
+    assert sig[..., 0].min() < 100 < sig[..., 0].max()
