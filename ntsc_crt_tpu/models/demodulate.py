@@ -285,6 +285,7 @@ def demodulate_core(
     *,
     randstate: jax.Array = None,
     v_fac: int = 0,
+    eq_mode: str = "threeband",
 ) -> tuple[jax.Array, dict]:
     """One decode pass.  Returns (rgb uint8 (B,outh,outw,3), new state dict
     with keys hsync/vsync/ccf/rn/randstate/inp)."""
@@ -357,14 +358,20 @@ def demodulate_core(
     i_in = (sig * wv_i) >> 9
     q_in = (sig * wv_q) >> 9
 
-    eqY, eqI, eqQ = _eq_coefs(cfg)
     stacked = jnp.stack([y_in, i_in, q_in], axis=2)      # (B, L, 3, AV)
-    mk = lambda *v: jnp.asarray(v, jnp.int32)[None, None, :]
-    eqd = filters.eq_threeband(
-        stacked,
-        mk(eqY.lf, eqI.lf, eqQ.lf), mk(eqY.hf, eqI.hf, eqQ.hf),
-        mk(eqY.g_lo, eqI.g_lo, eqQ.g_lo), mk(eqY.g_mid, eqI.g_mid, eqQ.g_mid),
-        mk(eqY.g_hi, eqI.g_hi, eqQ.g_hi))
+    if eq_mode == "threeband":
+        eqY, eqI, eqQ = _eq_coefs(cfg)
+        mk = lambda *v: jnp.asarray(v, jnp.int32)[None, None, :]
+        eqd = filters.eq_threeband(
+            stacked,
+            mk(eqY.lf, eqI.lf, eqQ.lf), mk(eqY.hf, eqI.hf, eqQ.hf),
+            mk(eqY.g_lo, eqI.g_lo, eqQ.g_lo),
+            mk(eqY.g_mid, eqI.g_mid, eqQ.g_mid),
+            mk(eqY.g_hi, eqI.g_hi, eqQ.g_hi))
+    else:
+        # the reference's USE_CONVOLUTION build (crt_core.c:96-147)
+        assert CC == 4, "convolution EQ requires 4-sample chroma (crt_core.c:90)"
+        eqd = filters.eq_convolution(stacked, int(eq_mode.removeprefix("conv")))
     oy = eqd[:, :, 0] << 4                               # crt_core.c:540
     oi = eqd[:, :, 1] >> 3
     oq = eqd[:, :, 2] >> 3

@@ -113,13 +113,16 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
 
 def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
                mon: Optional[MonitorParams] = None, *,
-               v_fac: int = 0) -> CRTState:
-    """Decode the analog buffer into the output image (crt_demodulate)."""
+               v_fac: int = 0, eq_mode: str = "threeband") -> CRTState:
+    """Decode the analog buffer into the output image (crt_demodulate).
+    eq_mode: "threeband" (default) or "conv7"/"conv6"/"conv5"/"conv4" for
+    the reference's USE_CONVOLUTION filter builds."""
     mon = mon or MonitorParams()
     state, _, batched = _lift(state, None)
     out, new = _dem.demodulate_core(
         cfg, state.analog, state.out, state.hsync, state.vsync, state.ccf,
-        state.rn, noise, mon, randstate=state.randstate, v_fac=v_fac)
+        state.rn, noise, mon, randstate=state.randstate, v_fac=v_fac,
+        eq_mode=eq_mode)
     randstate = new["randstate"]
     if randstate is None:
         randstate = state.randstate

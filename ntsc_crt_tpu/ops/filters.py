@@ -160,3 +160,31 @@ def eq_threeband(s: jax.Array, lf, hf, g_lo, g_mid, g_hi) -> jax.Array:
     init = ((zero,) * 4, (zero,) * 4, (zero,) * 3)
     _, ys = lax.scan(step, init, xs)
     return jnp.moveaxis(ys, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# Convolution EQ — the reference's compile-time alternative to the 3-band
+# equalizer (USE_CONVOLUTION, crt_core.c:96-147): a short symmetric FIR with
+# zero history at line start.  "much faster but the EQ looks softer".
+# Only valid for 4-sample chroma systems (crt_core.c:90-94).
+# ---------------------------------------------------------------------------
+
+_CONV_EQ_KERNELS = {
+    7: ([1, 4, 7, 8, 7, 4, 1], 5),   # crt_core.c:130-133
+    6: ([1, 3, 4, 4, 3, 1], 4),      # crt_core.c:134-137
+    5: ([1, 2, 2, 2, 1], 3),         # crt_core.c:138-141
+    4: ([1, 1, 1, 1], 2),            # crt_core.c:142-145
+}
+
+
+def eq_convolution(s: jax.Array, taps: int = 7) -> jax.Array:
+    """out_i = (sum_k w_k * s_{i-k}) >> p along the last axis, zeros before
+    the line start — exactly eqf() in the USE_CONVOLUTION build.  Pure
+    static-shift adds; embarrassingly parallel (no recurrence)."""
+    weights, shift = _CONV_EQ_KERNELS[taps]
+    s = jnp.asarray(s, jnp.int32)
+    out = jnp.zeros_like(s)
+    for k, wk in enumerate(weights):
+        shifted = s if k == 0 else jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(k, 0)])[..., :s.shape[-1]]
+        out = out + wk * shifted
+    return out >> shift
