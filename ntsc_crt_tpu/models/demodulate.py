@@ -286,6 +286,7 @@ def demodulate_core(
     randstate: jax.Array = None,
     v_fac: int = 0,
     eq_mode: str = "threeband",
+    do_bloom: bool = False,
 ) -> tuple[jax.Array, dict]:
     """One decode pass.  Returns (rgb uint8 (B,outh,outw,3), new state dict
     with keys hsync/vsync/ccf/rn/randstate/inp)."""
@@ -354,6 +355,39 @@ def demodulate_core(
         wv_i = fastpath.tile_period(waveI_l, AV, 0)
         wv_q = fastpath.tile_period(waveQ_l, AV, 0)
 
+    if do_bloom:
+        # beam-energy bloom (crt_core.c:399-526): a per-line EMA of scanline
+        # energy modulates the drawn line width.  prev_e is serial across
+        # lines; the EQ consumes samples starting at the (per-line) scanL.
+        max_e = (128 + cdiv(noise, 2)) * AV              # (B,)
+        s_sum = jnp.sum(sig, axis=2)                     # (B, L)
+
+        def bloom_step(prev_e, s_l):
+            prev_e = cdiv(prev_e * 123, 128) + \
+                cdiv(((max_e >> 1) - s_l) << 10, max_e)
+            return prev_e, prev_e
+
+        init_e = jnp.full((B,), 16384 // 8, jnp.int32)
+        _, prev_e = lax.scan(bloom_step, init_e, s_sum.T, unroll=16)
+        prev_e = prev_e.T                                # (B, L)
+        line_w = (AV * 112 // 128) + (prev_e >> 9)
+        dx_l = (line_w << 12) // outw
+        scanL_l = ((AV // 2) - (line_w >> 1) + 8) << 12
+        Lidx = scanL_l >> 12                             # per-line EQ start
+        # shift each line so the EQ recurrence starts at its scanL
+        pad = jnp.pad(sig, ((0, 0), (0, 0), (0, AV)))
+        sig = fastpath.shift_rows(pad.reshape(B * L, 2 * AV),
+                                  jnp.clip(Lidx, 0, AV).reshape(B * L),
+                                  AV).reshape(B, L, AV)
+        wv_i = fastpath.onehot_pick(
+            wave_l[:, :, None, :] if CC == 4 else waveI_l[:, :, None, :],
+            crem(jnp.arange(AV, dtype=jnp.int32)[None, None, :]
+                 + Lidx[..., None], CC))
+        wv_q = fastpath.onehot_pick(
+            wave_l[:, :, None, :] if CC == 4 else waveQ_l[:, :, None, :],
+            crem(jnp.arange(AV, dtype=jnp.int32)[None, None, :]
+                 + Lidx[..., None] + (3 if CC == 4 else 0), CC))
+
     y_in = sig + bright[:, None, None]
     i_in = (sig * wv_i) >> 9
     q_in = (sig * wv_q) >> 9
@@ -377,9 +411,30 @@ def demodulate_core(
     oq = eqd[:, :, 2] >> 3
 
     # ---- scan conversion (crt_core.c:555-611) ------------------------------
-    yv = fastpath.lerp_resample(oy, outw, 2)
-    iv = fastpath.lerp_resample(oi, outw, 14)
-    qv = fastpath.lerp_resample(oq, outw, 14)
+    if do_bloom:
+        # variable line width (crt_core.c:512-532): pos = scanL + p*dx with
+        # per-line dx; since scanL's low 12 bits are zero and the EQ output
+        # was shifted to start at scanL, sample index = (p*dx) >> 12.
+        p_ = jnp.arange(outw, dtype=jnp.int32)[None, None, :]
+        rel = p_ * dx_l[..., None]                        # (B, L, outw)
+        valid = (scanL_l[..., None] + rel) < ((AV - 1) << 12)
+        s_rel = jnp.clip(rel >> 12, 0, AV - 2)
+        Rw = rel & 0xFFF
+        Lw = 0xFFF - Rw
+
+        def lerp_dyn(v, sh):
+            a = jnp.take_along_axis(v, s_rel, axis=2)
+            bb = jnp.take_along_axis(v, s_rel + 1, axis=2)
+            return ((a * Lw) >> sh) + ((bb * Rw) >> sh)
+
+        yv = lerp_dyn(oy, 2)
+        iv = lerp_dyn(oi, 14)
+        qv = lerp_dyn(oq, 14)
+    else:
+        valid = None
+        yv = fastpath.lerp_resample(oy, outw, 2)
+        iv = fastpath.lerp_resample(oi, outw, 14)
+        qv = fastpath.lerp_resample(oq, outw, 14)
 
     contrast = _b(mon.contrast, B)[:, None, None]
     r = (((yv + 3879 * iv + 2556 * qv) >> 12) * contrast) >> 8
@@ -388,7 +443,8 @@ def demodulate_core(
     rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255)  # (B, L, outw, 3)
 
     out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
-                          _b(mon.blend, B), _b(mon.scanlines, B), outh)
+                          _b(mon.blend, B), _b(mon.scanlines, B), outh,
+                          valid=valid)
 
     state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new, rn=rn_new,
                  randstate=randstate, inp=inp2d)
@@ -396,7 +452,7 @@ def demodulate_core(
 
 
 def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
-                outh):
+                outh, valid=None):
     """Reproduce the reference's sequential row writes (store at `beg`,
     memcpy-duplicate up to `end - scanlines`, blend vs previous contents;
     crt_core.c:552-664) as a pure per-output-row one-hot select.
@@ -428,5 +484,11 @@ def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
         rgb.astype(jnp.uint8), lsel)                          # (B, outh, outw, 3)
     blended = (new_rows >> 1) + (old_at_beg >> 1)             # crt_core.c:608
     content = jnp.where((blend != 0)[:, None, None, None], blended, new_rows)
+    if valid is not None:
+        # bloom: pixels beyond the (narrower) drawn line keep the previous
+        # contents of the source row — black borders (crt_core.c:555)
+        vsel = fastpath.select_rows_batched(
+            valid.astype(jnp.uint8), lsel).astype(bool)       # (B, outh, outw)
+        content = jnp.where(vsel[..., None], content, old_at_beg)
     out = jnp.where(exists[..., None, None], content, old)
     return out.astype(jnp.uint8)

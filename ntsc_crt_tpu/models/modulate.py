@@ -141,8 +141,16 @@ def video_rows_mask(cfg: SystemConfig) -> np.ndarray:
     return rows
 
 
-def _dest_size(cfg: SystemConfig, raw: bool, img_w: int, img_h: int):
-    """destw/desth sizing (crt_ntsc.c:148-173, non-bloom path)."""
+def _dest_size(cfg: SystemConfig, raw: bool, img_w: int, img_h: int,
+               do_bloom: bool = False):
+    """destw/desth sizing (crt_ntsc.c:148-173)."""
+    if do_bloom:
+        destw = (cfg.av_len * 55500) >> 16
+        desth = (cfg.lines * 63500) >> 16
+        if raw:
+            destw = min(img_w, destw)
+            desth = min(img_h, desth)
+        return destw, desth
     destw, desth = cfg.av_len, (cfg.lines * 64500) >> 16
     if raw:
         destw = min(img_w, cfg.av_len)
@@ -204,7 +212,7 @@ def modulate_rgb(
     field, frame, hue, as_color=1,
     xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100,
-    raw: bool = False,
+    raw: bool = False, do_bloom: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (analog', ccf') — ccf' is the encoder's burst export
     (iccf << 7, crt_ntsc.c:325-329), shape (B, cc_vper, cc_samples) int32."""
@@ -219,7 +227,7 @@ def modulate_rgb(
     white_point = _b(white_point, B)
     CC = cfg.cc_samples
 
-    destw, desth = _dest_size(cfg, raw, w, h)
+    destw, desth = _dest_size(cfg, raw, w, h, do_bloom)
     xo = (cfg.av_beg + xoffset + (cfg.av_len - destw) // 2) & ~3  # :203
     yo = cfg.top + yoffset + (cfg.lines - desth) // 2
 

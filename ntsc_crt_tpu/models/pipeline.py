@@ -72,7 +72,8 @@ def _unlift(state: CRTState, batched: bool) -> CRTState:
 def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
              field=0, frame=0, hue=0, as_color=1, xoffset=0, yoffset=0,
              black_point=0, white_point=100, raw: bool = False,
-             dot_crawl_offset=0, do_aberration=0) -> CRTState:
+             dot_crawl_offset=0, do_aberration=0,
+             do_bloom: bool = False) -> CRTState:
     """Encode one frame (or batch of frames) into the analog buffer.
     Dispatches to the per-system encoder family like the reference's
     CRT_SYSTEM compile switch (crt_core.h:38-59)."""
@@ -107,13 +108,15 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
         analog, ccf = _mod.modulate_rgb(
             cfg, state.analog, img, field=field, frame=frame, hue=hue,
             as_color=as_color, xoffset=xoffset, yoffset=yoffset,
-            black_point=black_point, white_point=white_point, raw=raw)
+            black_point=black_point, white_point=white_point, raw=raw,
+            do_bloom=do_bloom)
     return _unlift(state._replace(analog=analog, ccf=ccf), batched)
 
 
 def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
                mon: Optional[MonitorParams] = None, *,
-               v_fac: int = 0, eq_mode: str = "threeband") -> CRTState:
+               v_fac: int = 0, eq_mode: str = "threeband",
+               do_bloom: bool = False) -> CRTState:
     """Decode the analog buffer into the output image (crt_demodulate).
     eq_mode: "threeband" (default) or "conv7"/"conv6"/"conv5"/"conv4" for
     the reference's USE_CONVOLUTION filter builds."""
@@ -122,7 +125,7 @@ def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
     out, new = _dem.demodulate_core(
         cfg, state.analog, state.out, state.hsync, state.vsync, state.ccf,
         state.rn, noise, mon, randstate=state.randstate, v_fac=v_fac,
-        eq_mode=eq_mode)
+        eq_mode=eq_mode, do_bloom=do_bloom)
     randstate = new["randstate"]
     if randstate is None:
         randstate = state.randstate
