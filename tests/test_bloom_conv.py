@@ -63,7 +63,7 @@ def test_bloom_black_borders():
     assert int(out_b[120, -3].sum()) < 80    # right edge dark
     assert int(out_b[120, 160].sum()) > 600  # center lit
     assert int(out_n[120, 160].sum()) > 600
-    assert (out_b != out_n).mean() > 0.05
+    assert (out_b != out_n).mean() > 0.02
 
 
 def test_conv_eq_modes_run():
