@@ -22,6 +22,8 @@ from ntsc_crt_tpu.models.systems import (  # noqa: F401
     SystemConfig,
     NTSC,
     NTSCVHS,
+    NTSCVHS_LP,
+    NTSCVHS_EP,
     SNES,
     NES,
     NESRGB,

@@ -1,0 +1,150 @@
+"""Interactive real-time session — the library equivalent of the reference's
+LIVE build (crt_main.c:284-557, controls.txt).
+
+The reference wires keyboard callbacks to `struct CRT` fields and runs a
+60 Hz modulate/demodulate loop with phosphor fade and interlace toggling.
+Here the same loop is a host-side object holding the CRT state pytree and a
+jitted step; `handle_key` implements the exact key map from controls.txt so
+embedders (emulators, notebooks, a curses frontend) drive it directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ntsc_crt_tpu.models.systems import SystemConfig
+from ntsc_crt_tpu.models import pipeline, video
+from ntsc_crt_tpu.models.demodulate import MonitorParams
+
+
+@dataclasses.dataclass
+class LiveSession:
+    """60 Hz-style interactive loop state (crt_main.c:284-557)."""
+
+    cfg: SystemConfig
+    outw: int = 832
+    outh: int = 624
+    noise: int = 0
+    hue: int = 0                 # artifact hue (encoder)
+    monitor_hue: int = 0         # decoding hue (7/8 keys)
+    brightness: int = 0
+    contrast: int = 180
+    saturation: int = 10
+    black_point: int = 0
+    white_point: int = 100
+    blend: int = 0
+    scanlines: int = 0
+    color: bool = True
+    raw: bool = False
+    progressive: bool = False
+    fadephos: bool = True
+    field: int = 0
+    frame: int = 0
+    dot_crawl_offset: int = 0
+
+    def __post_init__(self):
+        self.state = pipeline.crt_init(self.cfg, self.outw, self.outh)
+        self._step = jax.jit(self._step_impl, static_argnames=("raw",))
+
+    def _mon(self) -> MonitorParams:
+        return MonitorParams(
+            hue=np.int32(self.monitor_hue),
+            brightness=np.int32(self.brightness),
+            contrast=np.int32(self.contrast),
+            saturation=np.int32(self.saturation),
+            black_point=np.int32(self.black_point),
+            white_point=np.int32(self.white_point),
+            blend=np.int32(self.blend),
+            scanlines=np.int32(self.scanlines))
+
+    def _step_impl(self, state, img, field, frame, hue, noise, as_color,
+                   dco, mon, fade, *, raw):
+        out_prev = jnp.where(fade, video.fade_phosphors(state.out),
+                             jnp.zeros_like(state.out))  # crt_main.c:459-463
+        state = state._replace(out=out_prev)
+        return pipeline.step(self.cfg, state, img, field=field, frame=frame,
+                             hue=hue, noise=noise, mon=mon, as_color=as_color,
+                             raw=raw, dot_crawl_offset=dco)
+
+    def tick(self, img) -> np.ndarray:
+        """One display frame (displaycb, crt_main.c:454-497).
+        img: (h, w, 3) uint8 RGB, or (h, w) uint16 PPU indices for NES."""
+        if self.cfg.cc_vper > 1:
+            self.dot_crawl_offset = (self.dot_crawl_offset + 1) % self.cfg.cc_vper
+        if self.field == 0:
+            self.frame ^= 1                       # crt_main.c:482-484
+        self.state = self._step(
+            self.state, jnp.asarray(img), np.int32(self.field),
+            np.int32(self.frame), np.int32(self.hue), np.int32(self.noise),
+            np.int32(1 if self.color else 0),
+            np.int32(self.dot_crawl_offset), self._mon(),
+            np.bool_(self.fadephos), raw=self.raw)
+        if not (self.progressive or self.cfg.progressive):
+            self.field ^= 1                       # crt_main.c:492-494
+        return np.asarray(self.state.out)
+
+    def reset(self):
+        """'r' — crt_reset defaults (crt_core.c:250-261)."""
+        self.monitor_hue = 0
+        self.saturation = 10
+        self.brightness = 0
+        self.contrast = 180
+        self.black_point = 0
+        self.white_point = 100
+
+    def handle_key(self, key: str):
+        """The controls.txt key map (crt_main.c:310-435)."""
+        k = key
+        if k == "q":
+            self.black_point += 1
+        elif k == "a":
+            self.black_point -= 1
+        elif k == "w":
+            self.white_point += 1
+        elif k == "s":
+            self.white_point -= 1
+        elif k == "r":
+            self.reset()
+        elif k == "f":
+            self.field ^= 1
+        elif k == "e":
+            self.progressive = not self.progressive
+        elif k == "t":
+            self.raw = not self.raw
+        elif k == "m":
+            self.fadephos = not self.fadephos
+        elif k == "g":
+            self.scanlines ^= 1
+        elif k == "b":
+            self.blend ^= 1
+        elif k == " ":
+            self.color = not self.color
+        elif k == "up":
+            self.brightness += 1
+        elif k == "down":
+            self.brightness -= 1
+        elif k == "right":
+            self.contrast += 1
+        elif k == "left":
+            self.contrast -= 1
+        elif k == "1":
+            self.saturation -= 1
+        elif k == "2":
+            self.saturation += 1
+        elif k == "3":
+            self.noise = max(0, self.noise - 1)
+        elif k == "4":
+            self.noise += 1
+        elif k == "5":
+            self.hue = (self.hue - 1) % 360
+        elif k == "6":
+            self.hue = (self.hue + 1) % 360
+        elif k == "7":
+            self.monitor_hue = (self.monitor_hue - 1) % 360
+        elif k == "8":
+            self.monitor_hue = (self.monitor_hue + 1) % 360

@@ -576,6 +576,31 @@ def _wrap_i8(x: jax.Array) -> jax.Array:
     return (((x + 128) & 255) - 128).astype(jnp.int8)
 
 
+def _nes_square_sum4(p, phase0):
+    """sum_{j<4} square_sample(p, phase0 + j) (crt_nes.c:21-61) evaluated
+    arithmetically — elementwise ops and small masked reductions only.
+    p, phase0: broadcastable int32 arrays."""
+    hue_p = p & 0x0F
+    lum = (p >> 4) & 3
+    emph = p & 0o700
+    active = jnp.asarray(_NES_ACTIVE, jnp.int32)
+    ire_tab = jnp.asarray(_NES_IRE, jnp.int32)
+    shape = jnp.broadcast_shapes(jnp.shape(p), jnp.shape(phase0))
+    total = jnp.zeros(shape, jnp.int32)
+    for j in range(4):
+        phase = crem(phase0 + j, 12)
+        v = (crem(hue_p + phase, 12) < 6).astype(jnp.int32)
+        act = fastpath.onehot_pick(
+            jnp.broadcast_to(active, shape + (6,)), (phase >> 1) % 6)
+        e = ((emph & act) > 0).astype(jnp.int32)
+        l = jnp.where(hue_p == 0x00, 1, jnp.where(hue_p == 0x0D, 0, v))
+        idx = (l << 3) + (e << 2) + lum
+        samp = fastpath.onehot_pick(
+            jnp.broadcast_to(ire_tab, shape + (16,)), idx)
+        total = total + jnp.where(hue_p >= 0x0E, 0, samp)  # black columns
+    return total
+
+
 def modulate_nes(
     cfg: SystemConfig,
     analog: jax.Array,
@@ -583,12 +608,13 @@ def modulate_nes(
     *,
     hue, dot_crawl_offset=0, xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100,
+    border_color=0, draw_border: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """crt_nes.c:106-201 (the optimized path; bit-identical output).
 
-    Square-wave synthesis, gather-free: pixel indices one-hot matmul against
-    the 512x12 square table (f32-exact: |IRE| < 2^24), then the four
-    consecutive-phase taps reduce to a per-(row, x%4) 12-wide mask dot."""
+    Square-wave synthesis, gather-free: PPU indices resampled via one-hot
+    f32 matmuls, square_sample evaluated arithmetically.  draw_border
+    renders the PPU border region (NES_BORDER, crt_nes.c:138-161)."""
     assert cfg.kind == "nes"
     B = analog.shape[0]
     H, V, CC, VP = cfg.hres, cfg.vres, cfg.cc_samples, cfg.cc_vper
@@ -647,32 +673,33 @@ def modulate_nes(
                    preferred_element_type=jnp.float32).astype(jnp.int32)
 
     phasetab = jnp.asarray(_NES_PHASETAB, jnp.int32)
+
+    if draw_border:
+        # PPU border (NES_BORDER, crt_nes.c:138-161): rows TOP..BOT+2,
+        # columns LAV_BEG..HRES, drawn BEFORE the active video overwrites
+        # the middle; the first border column carries pixel 0xf0.
+        nb0, nb1 = cfg.top, cfg.bot + 3                  # inclusive..exclusive
+        bw = H - cfg.lav_beg
+        nrows = nb1 - nb0
+        phb = fastpath.onehot_pick(
+            jnp.broadcast_to(phasetab[None, None, :], (B, nrows, VP)),
+            crem(jnp.arange(nb0, nb1, dtype=jnp.int32)[None, :]
+                 + dco[:, None], VP)) + 6                # (B, nrows)
+        tb = jnp.asarray(np.arange(bw, dtype=np.int64), jnp.int32)
+        pb = jnp.where(tb[None, None, :] == 0, 0xF0,
+                       _b(border_color, B)[:, None, None] & 0x1FF)
+        ireb = _nes_square_sum4(pb, phb[..., None] + 3 * tb[None, None, :])
+        ireb = cfg.black_level + black_point[:, None, None] + ireb
+        ireb = cdiv(ireb * white_point[:, None, None], 100) >> 12
+        analog = analog.at[:, nb0:nb1, cfg.lav_beg:].set(_wrap_i8(ireb))
+
     ph0 = fastpath.onehot_pick(
         jnp.broadcast_to(phasetab[None, None, :], (B, desth, VP)),
         crem(jnp.arange(desth, dtype=jnp.int32)[None, :] + yo
              + dco[:, None], VP))                        # (B, desth)
     xphase = 3 * jnp.asarray(np.arange(destw, dtype=np.int64) % 4,
                              jnp.int32)[None, None, :]
-    hue_p = p & 0x0F
-    lum = (p >> 4) & 3
-    emph = p & 0o700
-    active = jnp.asarray(_NES_ACTIVE, jnp.int32)
-    ire_tab = jnp.asarray(_NES_IRE, jnp.int32)
-
-    ire = jnp.zeros_like(p)
-    for j in range(4):
-        phase = crem(ph0[..., None] + xphase + j, 12)    # (B, desth, destw)
-        v = (crem(hue_p + phase, 12) < 6).astype(jnp.int32)
-        act = fastpath.onehot_pick(
-            jnp.broadcast_to(active[None, None, None, :],
-                             phase.shape + (6,)), (phase >> 1) % 6)
-        e = ((emph & act) > 0).astype(jnp.int32)
-        l = jnp.where(hue_p == 0x00, 1, jnp.where(hue_p == 0x0D, 0, v))
-        idx = (l << 3) + (e << 2) + lum
-        samp = fastpath.onehot_pick(
-            jnp.broadcast_to(ire_tab[None, None, None, :],
-                             idx.shape + (16,)), idx)
-        ire = ire + jnp.where(hue_p >= 0x0E, 0, samp)    # black columns
+    ire = _nes_square_sum4(p, ph0[..., None] + xphase)
     ire = cfg.black_level + black_point[:, None, None] + ire
     ire = cdiv(ire * white_point[:, None, None], 100) >> 12  # crt_nes.c:190
     analog = analog.at[:, yo:yo + desth, xo:xo + destw].set(_wrap_i8(ire))

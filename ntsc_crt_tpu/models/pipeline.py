@@ -73,12 +73,13 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
              field=0, frame=0, hue=0, as_color=1, xoffset=0, yoffset=0,
              black_point=0, white_point=100, raw: bool = False,
              dot_crawl_offset=0, do_aberration=0,
-             do_bloom: bool = False) -> CRTState:
+             do_bloom: bool = False,
+             border_color=0, draw_border: bool = False) -> CRTState:
     """Encode one frame (or batch of frames) into the analog buffer.
     Dispatches to the per-system encoder family like the reference's
     CRT_SYSTEM compile switch (crt_core.h:38-59)."""
     state, img, batched = _lift(state, img)
-    if cfg.name == "NTSCVHS":
+    if cfg.name.startswith("NTSCVHS"):
         analog, ccf, randstate = _mod.modulate_vhs(
             cfg, state.analog, img, state.randstate, field=field, frame=frame,
             hue=hue, as_color=as_color, xoffset=xoffset, yoffset=yoffset,
@@ -92,7 +93,8 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
         analog, ccf = _mod.modulate_nes(
             cfg, state.analog, img, hue=hue, dot_crawl_offset=dot_crawl_offset,
             xoffset=xoffset, yoffset=yoffset,
-            black_point=black_point, white_point=white_point)
+            black_point=black_point, white_point=white_point,
+            border_color=border_color, draw_border=draw_border)
     elif cfg.name == "NESRGB":
         analog, ccf = _mod.modulate_nesrgb(
             cfg, state.analog, img, hue=hue, dot_crawl_offset=dot_crawl_offset,

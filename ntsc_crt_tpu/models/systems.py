@@ -286,6 +286,15 @@ TEMPLATE = SystemConfig(
     equ_a=(0, 2), sync_region=(3, 6), equ_b=(7, 9),
 )
 
+# VHS tape-speed variants (crt_ntscvhs.h:102-124): same timing, narrower
+# luma/chroma bandwidths for Long Play / Extended Play
+NTSCVHS_LP = dataclasses.replace(
+    NTSCVHS, name="NTSCVHS_LP", vhs_mode=VHS_LP,
+    y_freq=240000, i_freq=40000, q_freq=40000)
+NTSCVHS_EP = dataclasses.replace(
+    NTSCVHS, name="NTSCVHS_EP", vhs_mode=VHS_EP,
+    y_freq=200000, i_freq=37000, q_freq=37000)
+
 SYSTEMS = {
     "NTSC": NTSC,
     "NES": NES,
@@ -294,6 +303,8 @@ SYSTEMS = {
     "TEMPLATE": TEMPLATE,
     "NTSCVHS": NTSCVHS,
     "NESRGB": NESRGB,
+    "NTSCVHS_LP": NTSCVHS_LP,
+    "NTSCVHS_EP": NTSCVHS_EP,
 }
 
 # reference CRT_SYSTEM ids (crt_core.h:30-36) for the oracle bridge

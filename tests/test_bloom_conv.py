@@ -78,3 +78,23 @@ def test_conv_eq_modes_run():
     for o in outs:
         assert o.mean() > 5
     assert (outs[0] != outs[1]).mean() > 0.05
+
+
+def test_nes_border():
+    """NES_BORDER (crt_nes.c:138-161): the PPU border region outside the
+    256-px active area gets square-wave content; default build leaves the
+    skeleton blank there."""
+    from ntsc_crt_tpu.models.systems import NES
+    rng = np.random.RandomState(0)
+    ppu = rng.randint(0, 64, (240, 256), np.uint16)
+    st = pipeline.crt_init(NES, 160, 120)
+    off = pipeline.modulate(NES, st, jnp.asarray(ppu), hue=0)
+    on = pipeline.modulate(NES, st, jnp.asarray(ppu), hue=0,
+                           border_color=0x22, draw_border=True)
+    a_off = np.asarray(off.analog)
+    a_on = np.asarray(on.analog)
+    # border columns (right of the active area) differ; active area matches
+    xo = (NES.av_beg) & ~3
+    assert (a_on[:, 900:909] != a_off[:, 900:909]).any()
+    np.testing.assert_array_equal(a_on[16:250, xo:xo + 100],
+                                  a_off[16:250, xo:xo + 100])

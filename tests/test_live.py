@@ -1,0 +1,33 @@
+"""Live session: key map, phosphor fade integration, field/frame toggling."""
+
+import numpy as np
+
+from ntsc_crt_tpu.models.systems import NTSC
+from ntsc_crt_tpu.apps.live import LiveSession
+
+
+def test_live_session_ticks_and_keys():
+    img = np.random.RandomState(0).randint(0, 256, (72, 96, 3), np.uint8)
+    s = LiveSession(NTSC, outw=160, outh=120, noise=0)
+    out1 = s.tick(img)
+    assert out1.shape == (120, 160, 3) and out1.mean() > 5
+    assert s.field == 1  # interlace toggled
+
+    # knobs mirror controls.txt
+    s.handle_key("q"); assert s.black_point == 1
+    s.handle_key("a"); s.handle_key("a"); assert s.black_point == -1
+    s.handle_key("4"); assert s.noise == 1
+    s.handle_key("3"); s.handle_key("3"); assert s.noise == 0
+    s.handle_key("8"); assert s.monitor_hue == 1
+    s.handle_key("5"); assert s.hue == 359
+    s.handle_key("b"); assert s.blend == 1
+    s.handle_key(" "); assert s.color is False
+    s.handle_key("r"); assert s.contrast == 180 and s.monitor_hue == 0
+
+    out2 = s.tick(img)
+    assert out2.shape == out1.shape
+
+    # monochrome after SPACE: low saturation in output
+    diff = out2.astype(int)
+    chroma = np.abs(diff[..., 0] - diff[..., 1]).mean()
+    assert chroma < 12
