@@ -179,91 +179,135 @@ def _find_vsync(cfg: SystemConfig, inp2d, vsync):
 
 def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
                saturation, outh, v_fac, field_px):
-    """Sequential per-line pass: hsync chase, ccf EMA, decode-wave derivation
-    (crt_core.c:409-536).  Batched: inp_flat (B, N) int8, carries (B, ...)."""
+    """Per-line sequential pass: hsync chase, ccf EMA, decode-wave derivation
+    (crt_core.c:409-536).  Batched: inp_flat (B, N) int8, carries (B, ...).
+
+    TPU reformulation: the hsync search result is *tabulated for every
+    possible hsync value at once* (16 fused shifted adds over padded line
+    rows), so the serial chain over lines degenerates to one tiny table
+    lookup per step.  With the hsync sequence known, the burst windows for
+    all lines extract in one batched two-stage shift, and the ccf EMA scan
+    runs entirely on (B, cc) vectors — the line loop touches no signal
+    memory at all."""
     CC = cfg.cc_samples
     B = inp_flat.shape[0]
-    lines = jnp.arange(cfg.top, cfg.bot, dtype=jnp.int32)
-    n_total = cfg.input_size
+    L = cfg.lines
+    H, V = cfg.hres, cfg.vres
+    W = cfg.hsync_window
+    lines = np.arange(cfg.top, cfg.bot, dtype=np.int64)
 
-    def window(base, length):
-        """inp_flat[b, base[b] + j] for j < length, via take_along_axis.
-        base: (B,); small windows only (16-50 samples)."""
-        idx = posmod(base[:, None] + jnp.arange(length, dtype=jnp.int32)[None],
-                     n_total)
-        return jnp.take_along_axis(inp_flat, idx, axis=1).astype(jnp.int32)
+    # beg/end/active are data-independent given field_px (crt_core.c:428-431)
+    lrel = jnp.asarray(lines - cfg.top, jnp.int32)[None, :]
+    beg_l = (lrel * (outh + v_fac)) // cfg.lines + field_px[:, None]
+    end_l = ((lrel + 1) * (outh + v_fac)) // cfg.lines + field_px[:, None]
+    active_l = beg_l < outh                               # (B, L)
 
-    def step(carry, line):
-        hsync, ccf = carry                               # (B,), (B, VP, CC)
-        beg = cdiv((line - cfg.top) * (outh + v_fac), cfg.lines) + field_px
-        end = cdiv((line - cfg.top + 1) * (outh + v_fac), cfg.lines) + field_px
-        active = beg < outh                              # (B,) 'continue' guard
+    # padded per-line rows: row l = inp row (l + vsync) mod V, plus spill
+    # into the following row (flat-indexing semantics; wraps at the bottom
+    # where the reference reads OOB — UB)
+    # spill must cover the furthest read: burst window at the max hsync
+    # (cb_beg + burst_len) and the hsync search window (sync_beg + 2W)
+    PAD = max(cfg.cb_beg + cfg.burst_len, cfg.sync_beg + 2 * W) + 2 * W
+    inp2d = inp_flat.reshape(B, V, H)
+    row_idx = posmod(jnp.asarray(lines, jnp.int32)[None, :]
+                     + vsync[:, None], V)
+    row_idx2 = jnp.concatenate([row_idx, posmod(row_idx[:, -1:] + 1, V)],
+                               axis=1)
+    rolled = fastpath.select_rows_batched(
+        inp2d, row_idx2).astype(jnp.int8)                 # (B, L+1, H)
+    rows2 = jnp.concatenate([rolled[:, :L],
+                             rolled[:, 1:, :PAD]], axis=2)  # (B, L, H+PAD)
 
-        ln = posmod(line + vsync, cfg.vres) * cfg.hres   # (B,)
+    # --- hsync transition table (crt_core.c:434-450, all h at once) --------
+    # window at candidate h starts at column h + sync_beg - W; running sum
+    # over 16 samples, first <= thresh wins; fall-through keeps i == W
+    thresh = cfg.hsync_thresh * cfg.sync_level
+    c0 = cfg.sync_beg - W
+    run = jnp.zeros((B, L, H), jnp.int32)
+    ib = jnp.full((B, L, H), W, jnp.int8)
+    found = jnp.zeros((B, L, H), bool)
+    for j in range(2 * W):
+        run = run + rows2[:, :, c0 + j:c0 + j + H].astype(jnp.int32)
+        hit = (run <= thresh) & ~found
+        ib = jnp.where(hit, jnp.int8(j - W), ib)
+        found = found | hit
+    # (XLA fuses this whole chain into one pass over the padded rows.)
 
-        # hsync search over a 2W window (crt_core.c:434-450)
-        W = cfg.hsync_window
-        wvals = window(ln + hsync + cfg.sync_beg - W, 2 * W)
-        cum = jnp.cumsum(wvals, axis=1)
-        hit = cum <= cfg.hsync_thresh * cfg.sync_level
-        i_break = jnp.where(jnp.any(hit, axis=1),
-                            jnp.argmax(hit, axis=1).astype(jnp.int32) - W, W)
-        hsync = jnp.where(active, posmod(i_break + hsync, cfg.hres), hsync)
+    # --- serial hsync chain: one (B,) table lookup per line ----------------
+    def hstep(hsync, xs):
+        ib_l, act = xs                                    # (B, H) int8, (B,)
+        d = jnp.take_along_axis(ib_l, hsync[:, None], axis=1)[:, 0]
+        nxt = posmod(d.astype(jnp.int32) + hsync, H)
+        hsync = jnp.where(act, nxt, hsync)
+        return hsync, hsync
 
-        xpos = posmod(cfg.av_beg + hsync - 3, cfg.hres)  # xnudge=-3
-        ypos = posmod(line + vsync + 3, cfg.vres)        # ynudge=+3
+    hsync_f, hseq = lax.scan(
+        hstep, i32(hsync0),
+        (jnp.swapaxes(ib, 0, 1), jnp.swapaxes(active_l, 0, 1)), unroll=16)
+    hsync_l = jnp.swapaxes(hseq, 0, 1)                    # (B, L)
 
-        # color carrier convergence EMA over the burst (crt_core.c:456-467)
-        vper_row = crem(ypos, cfg.cc_vper)               # (B,)
-        row_oh = (vper_row[:, None] ==
-                  jnp.arange(cfg.cc_vper, dtype=jnp.int32)[None, :])
-        ccr = jnp.sum(jnp.where(row_oh[:, :, None], ccf, 0), axis=1)  # (B, CC)
-        if CC == 4:
-            base = ln + (hsync & ~3)                     # crt_core.c:458
-        else:
-            base = ln + (hsync - crem(hsync, CC))
-        bvals = window(base + cfg.cb_beg, cfg.burst_len)
-        m = cfg.burst_len // CC
-        resh = bvals.reshape(B, m, CC)
-        col_for_cls = np.asarray([(k - cfg.cb_beg) % CC for k in range(CC)])
-        per_cls = resh[:, :, jnp.asarray(col_for_cls)]   # (B, m, CC) class-order
+    xpos_l = posmod(cfg.av_beg + hsync_l - 3, H)          # xnudge=-3
+    ypos_l = posmod(jnp.asarray(lines, jnp.int32)[None, :]
+                    + vsync[:, None] + 3, V)              # ynudge=+3
+    vper_l = crem(ypos_l, cfg.cc_vper)                    # (B, L)
+
+    # --- burst windows for every line in one batched shift -----------------
+    if CC == 4:
+        bbase = (hsync_l & ~3) + cfg.cb_beg               # crt_core.c:458
+    else:
+        bbase = (hsync_l - crem(hsync_l, CC)) + cfg.cb_beg
+    bvals = fastpath.shift_rows(
+        rows2.reshape(B * L, H + PAD), bbase.reshape(B * L),
+        cfg.burst_len).reshape(B, L, cfg.burst_len)
+    m = cfg.burst_len // CC
+    col_for_cls = np.asarray([(k - cfg.cb_beg) % CC for k in range(CC)])
+    per_cls = bvals.reshape(B, L, m, CC)[:, :, :, jnp.asarray(col_for_cls)]
+
+    # --- ccf EMA chain: (B, cc)-vector scan, no memory traffic -------------
+    vp_oh_l = (vper_l[..., None] ==
+               jnp.arange(cfg.cc_vper, dtype=jnp.int32))  # (B, L, VP)
+
+    def cstep(ccf, xs):
+        pc, row_oh, act = xs      # (B, m, CC), (B, VP), (B,)
+        ccr = jnp.sum(jnp.where(row_oh[:, :, None], ccf, 0), axis=1)
         ccr_new = ccr
         for mm in range(m):
-            ccr_new = cdiv(ccr_new * 127, 128) + per_cls[:, mm]
-        ccr = jnp.where(active[:, None], ccr_new, ccr)
+            ccr_new = cdiv(ccr_new * 127, 128) + pc[:, mm]
+        ccr = jnp.where(act[:, None], ccr_new, ccr)
         ccf = jnp.where(row_oh[:, :, None], ccr[:, None, :], ccf)
+        return ccf, ccr
 
-        phasealign = posmod(hsync, CC)                   # (B,)
+    ccf_f, ccr_seq = lax.scan(
+        cstep, jnp.asarray(ccf0, jnp.int32),
+        (jnp.swapaxes(per_cls, 0, 1), jnp.swapaxes(vp_oh_l, 0, 1),
+         jnp.swapaxes(active_l, 0, 1)), unroll=16)
+    ccr_l = jnp.swapaxes(ccr_seq, 0, 1)                   # (B, L, CC)
 
-        def pick(vec, idx):
-            """vec (B, CC) at per-frame scalar idx (B,) — masked sum."""
-            return fastpath.onehot_pick(vec, idx[:, None])[:, 0]
+    # --- decode waves, vectorized over lines --------------------------------
+    phasealign = posmod(hsync_l, CC)                      # (B, L)
 
-        if CC == 4:
-            # 4-sample IQ extraction (crt_core.c:471-479)
-            dci = pick(ccr, (phasealign + 1) & 3) - pick(ccr, (phasealign + 3) & 3)
-            dcq = pick(ccr, (phasealign + 2) & 3) - pick(ccr, (phasealign + 0) & 3)
-            w0 = ((dci * hue_cs - dcq * hue_sn) >> 4) * saturation
-            w1 = ((dcq * hue_cs + dci * hue_sn) >> 4) * saturation
-            wave = jnp.stack([w0, w1, -w0, -w1], axis=1)  # (B, 4)
-            out_w = (wave,)
-        else:
-            # 5-sample variant (crt_core.c:480-509)
-            off180 = CC // 2
-            off90 = CC // 4
-            peakA = phasealign + off90
-            peakB = phasealign
-            dciA = pick(ccr, crem(peakA, CC))
-            dciB = cdiv(pick(ccr, crem(peakA + off180, CC)) +
-                        pick(ccr, crem(peakA + off180 + 1, CC)), 2)
-            dcqA = pick(ccr, crem(peakB + off180, CC))
-            dcqB = pick(ccr, crem(peakB, CC))
-            out_w = (dciA - dciB, dcqA - dcqB)
-        return (hsync, ccf), (xpos, beg, end, active) + out_w
+    def pick(off):
+        return fastpath.onehot_pick(ccr_l, crem(phasealign + off, CC))
 
-    (hsync_f, ccf_f), outs = lax.scan(step, (hsync0, ccf0), lines, unroll=8)
-    # stacked outputs come out (L, B, ...) -> (B, L, ...)
-    outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+    if CC == 4:
+        # 4-sample IQ extraction (crt_core.c:471-479)
+        dci = pick(1) - pick(3)
+        dcq = pick(2) - pick(0)
+        hs = hue_sn[:, None]
+        hc = hue_cs[:, None]
+        w0 = ((dci * hc - dcq * hs) >> 4) * saturation[:, None]
+        w1 = ((dcq * hc + dci * hs) >> 4) * saturation[:, None]
+        wave_l = jnp.stack([w0, w1, -w0, -w1], axis=2)    # (B, L, 4)
+        outs = (xpos_l, beg_l, end_l, active_l, wave_l)
+    else:
+        # 5-sample variant (crt_core.c:480-509)
+        off180 = CC // 2
+        off90 = CC // 4
+        dciA = pick(off90)
+        dciB = cdiv(pick(off90 + off180) + pick(off90 + off180 + 1), 2)
+        dcqA = pick(off180)
+        dcqB = pick(0)
+        outs = (xpos_l, beg_l, end_l, active_l, dciA - dciB, dcqA - dcqB)
     return hsync_f, ccf_f, outs
 
 
@@ -476,14 +520,24 @@ def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
     exists = last >= 0
     lsel = jnp.maximum(last, 0)
 
+    # statically-off blend (the common video case) skips the previous-frame
+    # row matmul entirely
+    blend_off = not isinstance(blend, jax.core.Tracer) and \
+        not np.asarray(blend).any()
+
     old = jnp.asarray(out_prev, jnp.int32)
     beg_sel = jnp.take_along_axis(beg_l, lsel, axis=1)        # (B, outh)
-    old_at_beg = fastpath.select_rows_batched(
-        out_prev, jnp.clip(beg_sel, 0, outh - 1))
     new_rows = fastpath.select_rows_batched(
         rgb.astype(jnp.uint8), lsel)                          # (B, outh, outw, 3)
-    blended = (new_rows >> 1) + (old_at_beg >> 1)             # crt_core.c:608
-    content = jnp.where((blend != 0)[:, None, None, None], blended, new_rows)
+    if blend_off and valid is None:
+        old_at_beg = None
+        content = new_rows
+    else:
+        old_at_beg = fastpath.select_rows_batched(
+            out_prev, jnp.clip(beg_sel, 0, outh - 1))
+        blended = (new_rows >> 1) + (old_at_beg >> 1)         # crt_core.c:608
+        content = jnp.where((blend != 0)[:, None, None, None],
+                            blended, new_rows)
     if valid is not None:
         # bloom: pixels beyond the (narrower) drawn line keep the previous
         # contents of the source row — black borders (crt_core.c:555)

@@ -45,10 +45,12 @@ def shift_rows(ext: jax.Array, shifts: jax.Array, out_len: int) -> jax.Array:
     r = shifts % F
     q = shifts // F
     wf = W
-    extp = jnp.pad(jnp.asarray(ext, jnp.int32), ((0, 0), (0, F - 1)))
-    fine = jnp.zeros((R, wf), jnp.int32)
+    # int8 throughout the fine stage: one fused pass instead of 4-byte lanes
+    extp = jnp.pad(jnp.asarray(ext, jnp.int8), ((0, 0), (0, F - 1)))
+    fine = jnp.zeros((R, wf), jnp.int8)
     for v in range(F):
-        fine = fine + jnp.where((r == v)[:, None], extp[:, v:v + wf], 0)
+        fine = fine + jnp.where((r == v)[:, None], extp[:, v:v + wf],
+                                jnp.int8(0))
     # coarse stage: shift by F*q via a one-hot depthwise conv whose taps sit
     # at multiples of F (rhs_dilation) — F x fewer MACs than a dense kernel
     kq = (W - out_len) // F + 1
