@@ -55,6 +55,16 @@ def crt_init(cfg: SystemConfig, outw: int, outh: int,
     return state
 
 
+def crt_resize(cfg: SystemConfig, state: CRTState, outw: int,
+               outh: int) -> CRTState:
+    """Change the output geometry while keeping all signal state
+    (crt_resize, crt_core.c:241-248 — the out buffer is caller-owned in the
+    reference; here it is part of the pytree and gets re-allocated)."""
+    batch = state.analog.shape[:-2]
+    return state._replace(
+        out=jnp.zeros(batch + (outh, outw, 3), jnp.uint8))
+
+
 def _lift(state: CRTState, img):
     """(state, img, batched?) with a guaranteed leading batch dim."""
     if state.analog.ndim == 3:

@@ -286,6 +286,14 @@ TEMPLATE = SystemConfig(
     equ_a=(0, 2), sync_region=(3, 6), equ_b=(7, 9),
 )
 
+# CRT_CHROMA_PATTERN=0 build (crt_ntsc.h:23-33): 228 cc/line vertical
+# chroma — "this will give the 'rainbow' effect in the famous waterfall
+# scene".  Different line width (912 samples) and no checkered phase flip.
+NTSC_RAINBOW = dataclasses.replace(
+    NTSC, name="NTSC_RAINBOW", chroma_pattern=CHROMA_VERTICAL,
+    cc_line=2280, hres=2280 * 4 // 10,
+    **_ns_timing(2280 * 4 // 10, 1500, 4700, 600, 2500, 1600, 52600))
+
 # VHS tape-speed variants (crt_ntscvhs.h:102-124): same timing, narrower
 # luma/chroma bandwidths for Long Play / Extended Play
 NTSCVHS_LP = dataclasses.replace(
@@ -305,6 +313,7 @@ SYSTEMS = {
     "NESRGB": NESRGB,
     "NTSCVHS_LP": NTSCVHS_LP,
     "NTSCVHS_EP": NTSCVHS_EP,
+    "NTSC_RAINBOW": NTSC_RAINBOW,
 }
 
 # reference CRT_SYSTEM ids (crt_core.h:30-36) for the oracle bridge
