@@ -232,6 +232,7 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
         ib = jnp.where(hit, jnp.int8(j - W), ib)
         found = found | hit
     # (XLA fuses this whole chain into one pass over the padded rows.)
+    ib = lax.optimization_barrier(ib)
 
     # --- serial hsync chain: one (B,) table lookup per line ----------------
     def hstep(hsync, xs):
@@ -244,7 +245,7 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
     hsync_f, hseq = lax.scan(
         hstep, i32(hsync0),
         (jnp.swapaxes(ib, 0, 1), jnp.swapaxes(active_l, 0, 1)), unroll=16)
-    hsync_l = jnp.swapaxes(hseq, 0, 1)                    # (B, L)
+    hsync_l = lax.optimization_barrier(jnp.swapaxes(hseq, 0, 1))  # (B, L)
 
     xpos_l = posmod(cfg.av_beg + hsync_l - 3, H)          # xnudge=-3
     ypos_l = posmod(jnp.asarray(lines, jnp.int32)[None, :]
@@ -354,16 +355,25 @@ def demodulate_core(
             cfg, analog_flat, _b(randstate, B), noise)
     else:
         inp_flat, rn_new = _inject_noise(cfg, analog_flat, _b(rn, B), noise)
-    inp2d = inp_flat.reshape(B, V, H)
 
+    # Phase fences: the tunneled-TPU XLA pipeline has been observed to
+    # miscompile fusions that span the sync-recovery scans and the grouped
+    # convs (zeros out conv outputs / corrupts table lookups).  Barriers at
+    # the natural phase seams keep each phase its own fusion island at
+    # negligible cost (the phases are separated by big materializations
+    # anyway).
+    inp_flat = lax.optimization_barrier(inp_flat)
+    inp2d = inp_flat.reshape(B, V, H)
     vsync_new, field = _find_vsync(cfg, inp2d, _b(vsync, B))
 
     ratio = ((outh << 16) // cfg.lines + 32768) >> 16    # static
     field_px = field * (ratio // 2)                      # (B,)
 
+    vsync_new, field_px = lax.optimization_barrier((vsync_new, field_px))
     hsync_new, ccf_new, outs = _line_scan(
         cfg, inp_flat, _b(hsync, B), jnp.asarray(ccf, jnp.int32), vsync_new,
         hue_sn, hue_cs, saturation, outh, v_fac, field_px)
+    outs = lax.optimization_barrier(outs)
 
     if CC == 4:
         xpos_l, beg_l, end_l, active_l, wave_l = outs    # (B,L,...), wave (B,L,4)
@@ -474,17 +484,29 @@ def demodulate_core(
         yv = lerp_dyn(oy, 2)
         iv = lerp_dyn(oi, 14)
         qv = lerp_dyn(oq, 14)
+    elif filters._use_pallas():
+        # fused Pallas kernel: lerp + YIQ->RGB + contrast + clamp + pack
+        from ntsc_crt_tpu.ops.pallas import scanconv_pallas as _sc
+        valid = None
+        ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
+        packed = _sc.scanconv_rows(
+            oy.reshape(B * L, AV), oi.reshape(B * L, AV),
+            oq.reshape(B * L, AV), ctr.reshape(B * L),
+            outw=outw).reshape(B, L, outw)
+        rgb = jnp.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                         packed & 0xFF], axis=-1)
     else:
         valid = None
         yv = fastpath.lerp_resample(oy, outw, 2)
         iv = fastpath.lerp_resample(oi, outw, 14)
         qv = fastpath.lerp_resample(oq, outw, 14)
 
-    contrast = _b(mon.contrast, B)[:, None, None]
-    r = (((yv + 3879 * iv + 2556 * qv) >> 12) * contrast) >> 8
-    g = (((yv - 1126 * iv - 2605 * qv) >> 12) * contrast) >> 8
-    b = (((yv - 4530 * iv + 7021 * qv) >> 12) * contrast) >> 8
-    rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255)  # (B, L, outw, 3)
+    if valid is not None or not filters._use_pallas():
+        contrast = _b(mon.contrast, B)[:, None, None]
+        r = (((yv + 3879 * iv + 2556 * qv) >> 12) * contrast) >> 8
+        g = (((yv - 1126 * iv - 2605 * qv) >> 12) * contrast) >> 8
+        b = (((yv - 4530 * iv + 7021 * qv) >> 12) * contrast) >> 8
+        rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255)  # (B, L, outw, 3)
 
     out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
                           _b(mon.blend, B), _b(mon.scanlines, B), outh,

@@ -32,37 +32,41 @@ def _mm_dtype():
 def shift_rows(ext: jax.Array, shifts: jax.Array, out_len: int) -> jax.Array:
     """out[r, i] = ext[r, shifts[r] + i] for i < out_len, without a gather.
 
-    ext: int32/int8 (R, W) with W >= max(shifts) + out_len, |values| <= 255.
+    ext: int32/int8 (R, W) with W >= max(shifts) + out_len, values int8-range.
     shifts: int32 (R,) in [0, W - out_len].
-    Implemented as a depthwise VALID cross-correlation with one-hot bf16
-    kernels — exact because every output picks exactly one input.
+
+    Three-level radix decomposition (shift = 128*q2 + 16*q1 + q0): each level
+    is a handful of masked adds of STATICALLY shifted slices — pure
+    elementwise VPU work that XLA fuses into a few local-reuse passes.  No
+    gathers, no convs (the grouped-conv formulation miscompiles on the
+    tunneled-TPU backend when fused into larger programs).
     """
     R, W = ext.shape
-    F = 16                                               # fine-shift radix
-    dt = _mm_dtype()
-    # fine stage: shift by (shifts % F) via F masked adds of statically
-    # shifted slices — XLA fuses these into one local-reuse pass
-    r = shifts % F
-    q = shifts // F
-    wf = W
-    # int8 throughout the fine stage: one fused pass instead of 4-byte lanes
-    extp = jnp.pad(jnp.asarray(ext, jnp.int8), ((0, 0), (0, F - 1)))
-    fine = jnp.zeros((R, wf), jnp.int8)
-    for v in range(F):
-        fine = fine + jnp.where((r == v)[:, None], extp[:, v:v + wf],
-                                jnp.int8(0))
-    # coarse stage: shift by F*q via a one-hot depthwise conv whose taps sit
-    # at multiples of F (rhs_dilation) — F x fewer MACs than a dense kernel
-    kq = (W - out_len) // F + 1
-    u = (jnp.arange(kq, dtype=jnp.int32)[None, :] == q[:, None])
-    x = fine.astype(dt)[None]                            # (1, R, wf)
-    k = u.astype(dt)[:, None, :]                         # (R, 1, kq)
-    out = lax.conv_general_dilated(
-        x, k, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        rhs_dilation=(F,),
-        feature_group_count=R)
-    return out[0, :, :out_len].astype(jnp.int32)         # (R, out_len)
+    max_shift = W - out_len
+    q0 = shifts % 16
+    q1 = (shifts // 16) % 8
+    q2 = shifts // 128
+
+    n2 = max_shift // 128 + 1
+    w2 = 128 * (n2 - 1) + out_len        # width needed before level 2
+    w1 = 16 * 7 + w2                     # before level 1
+    w0 = 15 + w1                         # before level 0
+    x = jnp.asarray(ext, jnp.int8)
+    if w0 > W:
+        x = jnp.pad(x, ((0, 0), (0, w0 - W)))
+
+    s0 = jnp.zeros((R, w1), jnp.int8)
+    for v in range(16):
+        s0 = s0 + jnp.where((q0 == v)[:, None], x[:, v:v + w1], jnp.int8(0))
+    s1 = jnp.zeros((R, w2), jnp.int8)
+    for v in range(8):
+        s1 = s1 + jnp.where((q1 == v)[:, None], s0[:, 16 * v:16 * v + w2],
+                            jnp.int8(0))
+    out = jnp.zeros((R, out_len), jnp.int8)
+    for v in range(n2):
+        out = out + jnp.where((q2 == v)[:, None],
+                              s1[:, 128 * v:128 * v + out_len], jnp.int8(0))
+    return out.astype(jnp.int32)
 
 
 def select_rows(data: jax.Array, idx: jax.Array) -> jax.Array:
@@ -137,21 +141,36 @@ def lerp_resample(vals: jax.Array, outw: int, shift: int) -> jax.Array:
         parts.append(((x >> 14) & 0x7F).astype(jnp.int8))
         parts.append((x >> 21).astype(jnp.int8))
     limbs = jnp.concatenate(parts, axis=0)            # (n*Rc, av)
-
-    Wj = jnp.concatenate([jnp.asarray(W_lo), jnp.asarray(W_hi)], axis=1)
-    prod = jax.lax.dot_general(
-        limbs, Wj, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)             # (n*Rc, 4*outw)
     Rc = x.shape[0]
-    p = prod.reshape(n_limbs, Rc, 2, 2 * outw)        # limb, row, wlimb, col
-    # recombine: value = sum limb_k << (7k); weight = lo + (hi << 6); wraps ok
-    acc = jnp.zeros((Rc, 2 * outw), jnp.int32)
-    for k in range(n_limbs):
-        acc = acc + ((p[k, :, 0] + (p[k, :, 1] << 6)) << (7 * k))
-    termA = acc[:, :outw]
-    termB = acc[:, outw:]
-    out = (termA >> shift) + (termB >> shift)
-    return out.reshape(lead + (outw,))
+
+    # The weight matrix is banded (pixel p only reads rows s(p), s(p)+1 with
+    # s monotone), so a dense (av, 4*outw) matmul wastes ~av/2 of its MACs.
+    # Split the source axis into 128-wide blocks: each block feeds only the
+    # contiguous pixel range whose s falls inside it — ~6x fewer MACs.
+    SB = 128
+    acc_parts = []
+    for b0 in range(0, av_len, SB):
+        b1 = min(b0 + SB, av_len)
+        cols = np.where((s >= b0) & (s < b1))[0]      # pixels fed by block
+        if len(cols) == 0:
+            continue
+        blk_hi = min(b1 + 1, av_len)                  # s+1 may spill one row
+        Wb = np.concatenate([W_lo[b0:blk_hi][:, cols],
+                             W_lo[b0:blk_hi][:, outw + cols],
+                             W_hi[b0:blk_hi][:, cols],
+                             W_hi[b0:blk_hi][:, outw + cols]], axis=1)
+        prod = jax.lax.dot_general(
+            limbs[:, b0:blk_hi], jnp.asarray(Wb), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)         # (n*Rc, 4*len(cols))
+        p = prod.reshape(n_limbs, Rc, 4, len(cols))
+        acc = jnp.zeros((Rc, 2, len(cols)), jnp.int32)
+        for k in range(n_limbs):
+            lo = p[k, :, 0:2]
+            hi = p[k, :, 2:4]
+            acc = acc + ((lo + (hi << 6)) << (7 * k))
+        acc_parts.append((acc[:, 0] >> shift) + (acc[:, 1] >> shift))
+    out = jnp.concatenate(acc_parts, axis=1)          # pixel ranges are
+    return out.reshape(lead + (outw,))                # contiguous & ordered
 
 
 def select_cols_static(data: jax.Array, idx) -> jax.Array:
