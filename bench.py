@@ -16,8 +16,8 @@ def main():
     from ntsc_crt_tpu.models.systems import NTSC
     from ntsc_crt_tpu.parallel import mesh as pmesh
 
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "128"))
-    iters = int(__import__("os").environ.get("BENCH_ITERS", "20"))
+    batch = int(__import__("os").environ.get("BENCH_BATCH", "256"))
+    iters = int(__import__("os").environ.get("BENCH_ITERS", "10"))
 
     states = pmesh.init_batch(NTSC, batch, 640, 480)
     step = pmesh.make_batched_step(NTSC, noise=12)
