@@ -442,6 +442,27 @@ def demodulate_core(
             crem(jnp.arange(AV, dtype=jnp.int32)[None, None, :]
                  + Lidx[..., None] + (3 if CC == 4 else 0), CC))
 
+    # --- fused fast path: EQ + scan conversion in one Pallas kernel --------
+    fused_ok = (not do_bloom and eq_mode == "threeband" and CC == 4
+                and filters._use_pallas())
+    if fused_ok:
+        from ntsc_crt_tpu.ops.pallas import decode_fused as _df
+        eqY, eqI, eqQ = _eq_coefs(cfg)
+        ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
+        brr = jnp.broadcast_to(bright[:, None], (B, L))
+        packed = _df.decode_fused_rows(
+            sig.astype(jnp.int8).reshape(B * L, AV),
+            wave_l.reshape(B * L, CC), brr.reshape(B * L), ctr.reshape(B * L),
+            outw=outw,
+            coefs=(tuple(eqY), tuple(eqI), tuple(eqQ))).reshape(B, L, outw)
+        rgb = jnp.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                         packed & 0xFF], axis=-1)
+        out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
+                              _b(mon.blend, B), _b(mon.scanlines, B), outh)
+        state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new,
+                     rn=rn_new, randstate=randstate, inp=inp2d)
+        return out_new, state
+
     y_in = sig + bright[:, None, None]
     i_in = (sig * wv_i) >> 9
     q_in = (sig * wv_q) >> 9

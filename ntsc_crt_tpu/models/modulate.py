@@ -187,6 +187,33 @@ def _bandlimit(cfg: SystemConfig, fy, fi, fq):
     return yiq[..., 0, :], yiq[..., 1, :], yiq[..., 2, :]
 
 
+
+def _encode_active_fused(cfg, fy, fi, fq, modI_rows, modQ_rows, gain, base,
+                         xo: int):
+    """Fused IIR+carrier+IRE kernel dispatch (ops/pallas/encode_fused.py).
+    fy/fi/fq: int32 (B, desth, destw) pre-bandlimit YIQ; modI/Q_rows:
+    int32 (B, desth, 4) per-row carrier tables (phase sign premultiplied);
+    gain/base: int32 (B,).  Returns int8 (B, desth, destw) IRE."""
+    from ntsc_crt_tpu.ops.pallas import encode_fused as _ef
+    B, desth, destw = fy.shape
+    if cfg.do_bandlimiting:
+        coefs = (filters.init_iir(cfg.l_freq, cfg.y_freq),
+                 filters.init_iir(cfg.l_freq, cfg.i_freq),
+                 filters.init_iir(cfg.l_freq, cfg.q_freq))
+    else:
+        coefs = None
+    R = B * desth
+    out = _ef.encode_fused_rows(
+        fy.reshape(R, destw).astype(jnp.int16),
+        fi.reshape(R, destw).astype(jnp.int16),
+        fq.reshape(R, destw).astype(jnp.int16),
+        modI_rows.reshape(R, 4), modQ_rows.reshape(R, 4),
+        jnp.broadcast_to(gain[:, None], (B, desth)).reshape(R),
+        jnp.broadcast_to(base[:, None], (B, desth)).reshape(R),
+        coefs=coefs, xo_mod=xo % 4)
+    return out.reshape(B, desth, destw)
+
+
 def _store_active(analog, ire, xo: int, yo: int):
     B, desth, destw = ire.shape
     return analog.at[:, yo:yo + desth, xo:xo + destw].set(ire)
@@ -290,15 +317,24 @@ def modulate_rgb(
     pix = _resample(cfg, img_u8, sy, destw)
     fy, fi, fq = _rgb_to_yiq(pix)
 
-    if cfg.do_bandlimiting:
-        fy, fi, fq = _bandlimit(cfg, fy, fi, fq)
-
-    # xoff pattern is static (xo static): periodic with offset xo % CC
-    mI = fastpath.tile_period(ccmodI, destw, xo % CC)[:, None, :]
-    mQ = fastpath.tile_period(ccmodQ, destw, xo % CC)[:, None, :]
-    fi = (fi * ph[:, None, None] * mI) >> 4              # crt_ntsc.c:316
-    fq = (fq * ph[:, None, None] * mQ) >> 4
-    ire = _ire_scale(cfg, fy, fi, fq, black_point, white_point)
+    gain = cdiv(cfg.white_level * white_point, 100)
+    base = cfg.black_level + black_point
+    if filters._use_pallas():
+        mi_rows = jnp.broadcast_to((ccmodI * ph[:, None])[:, None, :],
+                                   (B, desth, CC))
+        mq_rows = jnp.broadcast_to((ccmodQ * ph[:, None])[:, None, :],
+                                   (B, desth, CC))
+        ire = _encode_active_fused(cfg, fy, fi, fq, mi_rows, mq_rows,
+                                   gain, base, xo)
+    else:
+        if cfg.do_bandlimiting:
+            fy, fi, fq = _bandlimit(cfg, fy, fi, fq)
+        # xoff pattern is static (xo static): periodic with offset xo % CC
+        mI = fastpath.tile_period(ccmodI, destw, xo % CC)[:, None, :]
+        mQ = fastpath.tile_period(ccmodQ, destw, xo % CC)[:, None, :]
+        fi = (fi * ph[:, None, None] * mI) >> 4          # crt_ntsc.c:316
+        fq = (fq * ph[:, None, None] * mQ) >> 4
+        ire = _ire_scale(cfg, fy, fi, fq, black_point, white_point)
     analog = _store_active(analog, ire, xo, yo)
     return analog, ccf
 
@@ -434,6 +470,19 @@ def modulate_vper(
     sy = jnp.minimum((y_idx * h) // desth + field_offset, h - 1)
     pix = _resample(cfg, img_u8, sy, destw)
     fy, fi, fq = _rgb_to_yiq(pix)
+
+    if filters._use_pallas() and CC == 4:
+        # per-row carrier tables selected by the line's vertical phase class
+        phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
+        mi_rows = jnp.take(ccmodI, phr, axis=1)          # (B, desth, CC)
+        mq_rows = jnp.take(ccmodQ, phr, axis=1)
+        gain = cdiv(cfg.white_level * white_point, 100)
+        base = cfg.black_level + black_point
+        ire = _encode_active_fused(cfg, fy, fi, fq, mi_rows, mq_rows,
+                                   gain, base, xo)
+        analog = _store_active(analog, ire, xo, yo)
+        return analog, ccf
+
     if cfg.do_bandlimiting:
         fy, fi, fq = _bandlimit(cfg, fy, fi, fq)
 

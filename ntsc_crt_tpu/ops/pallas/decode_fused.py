@@ -1,0 +1,153 @@
+"""Fully-fused decode kernel: YIQ input prep + 3-band EQ + scan conversion
++ YIQ->RGB + contrast + clamp + packing, one VMEM residency per line.
+
+Replaces three HBM round trips (stacked YIQ inputs, EQ outputs, lerp inputs —
+~0.5 GB each at batch 256) with: int8 signal in (46 MB), packed RGB out
+(157 MB).  Per (sublane x lane) row-block the kernel
+
+1. marches x serially in K-sample chunks computing the three EQ chains with
+   *compile-time constant* coefficients (the per-channel gains/cutoffs are
+   static config — crt_core.c:277-287), staging oy/oi/oq rows in VMEM;
+2. runs the static scan-conversion pixel loop (source indices are fixed by
+   (av_len, outw), crt_core.c:528-532) straight out of that VMEM staging.
+
+The carrier wave factors have period cc_samples along x, so with K a
+multiple of the period the in-chunk phase is static — the (i & 3) / (i+3 & 3)
+indexing (crt_core.c:541-542) costs nothing.  4-sample systems only; the
+5-sample (PV1K) and bloom paths use the unfused stages.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ntsc_crt_tpu.ops.filters import EQ_P, EQ_R
+from ntsc_crt_tpu.ops.fastpath import lerp_resample_weights
+
+LANE = 128
+SUB = 4
+K = 32  # serial unroll; multiple of the 4-sample chroma period
+
+
+def _eq_chain(state, sx, lf, hf, g0, g1, g2):
+    fL0, fL1, fL2, fL3, fH0, fH1, fH2, fH3, h0, h1, h2 = state
+    fL0 = fL0 + ((lf * (sx - fL0) + EQ_R) >> EQ_P)
+    fH0 = fH0 + ((hf * (sx - fH0) + EQ_R) >> EQ_P)
+    fL1 = fL1 + ((lf * (fL0 - fL1) + EQ_R) >> EQ_P)
+    fH1 = fH1 + ((hf * (fH0 - fH1) + EQ_R) >> EQ_P)
+    fL2 = fL2 + ((lf * (fL1 - fL2) + EQ_R) >> EQ_P)
+    fH2 = fH2 + ((hf * (fH1 - fH2) + EQ_R) >> EQ_P)
+    fL3 = fL3 + ((lf * (fL2 - fL3) + EQ_R) >> EQ_P)
+    fH3 = fH3 + ((hf * (fH2 - fH3) + EQ_R) >> EQ_P)
+    out = (((fL3 * g0) >> EQ_P) + (((fH3 - fL3) * g1) >> EQ_P)
+           + (((h2 - fH3) * g2) >> EQ_P))
+    return (fL0, fL1, fL2, fL3, fH0, fH1, fH2, fH3, sx, h0, h1), out
+
+
+def _make_kernel(T, outw, coefs, smap):
+    cy, ci, cq = coefs  # per-channel (lf, hf, g0, g1, g2) python ints
+
+    def kernel(sig_ref, wv_ref, br_ref, ct_ref, out_ref,
+               oy_s, oi_s, oq_s):
+        bright = br_ref[0]
+        zero = jnp.zeros_like(bright)
+
+        def chunk(tb, carry):
+            sy, si, sq = carry
+            raw = sig_ref[pl.ds(tb * K, K)]               # (K, S, 128) int8
+            oys, ois, oqs = [], [], []
+            for j in range(K):
+                sx = raw[j].astype(jnp.int32)
+                # wave phase is static within the chunk (K % 4 == 0)
+                wv_i = wv_ref[j % 4]
+                wv_q = wv_ref[(j + 3) % 4]
+                sy, oy = _eq_chain(sy, sx + bright, *cy)
+                si, oi = _eq_chain(si, (sx * wv_i) >> 9, *ci)
+                sq, oq = _eq_chain(sq, (sx * wv_q) >> 9, *cq)
+                oys.append(oy << 4)                        # crt_core.c:540
+                ois.append(oi >> 3)
+                oqs.append(oq >> 3)
+            oy_s[pl.ds(tb * K, K)] = jnp.stack(oys)
+            oi_s[pl.ds(tb * K, K)] = jnp.stack(ois)
+            oq_s[pl.ds(tb * K, K)] = jnp.stack(oqs)
+            return sy, si, sq
+
+        init = ((zero,) * 11, (zero,) * 11, (zero,) * 11)
+        lax.fori_loop(0, T // K, chunk, init)
+
+        contrast = ct_ref[0]
+        for p, (s, Lw, Rw) in enumerate(smap):
+            y = ((oy_s[s] * Lw) >> 2) + ((oy_s[s + 1] * Rw) >> 2)
+            i = ((oi_s[s] * Lw) >> 14) + ((oi_s[s + 1] * Rw) >> 14)
+            q = ((oq_s[s] * Lw) >> 14) + ((oq_s[s + 1] * Rw) >> 14)
+            r = (((y + 3879 * i + 2556 * q) >> 12) * contrast) >> 8
+            g = (((y - 1126 * i - 2605 * q) >> 12) * contrast) >> 8
+            b = (((y - 4530 * i + 7021 * q) >> 12) * contrast) >> 8
+            out_ref[p] = ((jnp.clip(r, 0, 255) << 16)
+                          | (jnp.clip(g, 0, 255) << 8) | jnp.clip(b, 0, 255))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("outw", "coefs", "interpret"))
+def decode_fused_rows(sig, wave, bright, contrast, *, outw: int,
+                      coefs, interpret: bool = False):
+    """sig: int8 (R, T); wave: int32 (R, 4); bright/contrast: int32 (R,).
+    coefs: ((lf,hf,g0,g1,g2) x 3) python ints.  Returns packed RGB int32
+    (R, outw) — r<<16 | g<<8 | b, clamped."""
+    R, T = sig.shape
+    Tp = -(-T // K) * K
+    s, L, Rw = lerp_resample_weights(T, outw)
+    smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
+
+    rows_blk = SUB * LANE
+    Rp = -(-R // rows_blk) * rows_blk
+    RB = Rp // rows_blk
+
+    sigp = jnp.zeros((Rp, Tp), jnp.int8).at[:R, :T].set(sig)
+    sigT = sigp.T.reshape(Tp, RB, SUB, LANE).swapaxes(0, 1)
+
+    def vec(x, n):
+        xp = jnp.zeros((Rp, n), jnp.int32).at[:R].set(x.reshape(R, n))
+        return xp.T.reshape(n, RB, SUB, LANE).swapaxes(0, 1)
+
+    wv = vec(wave, 4)
+    br = vec(bright, 1)
+    ct = vec(contrast, 1)
+
+    kern = _make_kernel(Tp, outw, coefs, smap)
+
+    def body(*refs):
+        sig_r, wv_r, br_r, ct_r, out_r, oys, ois, oqs = refs
+        kern(sig_r.at[0], wv_r.at[0], br_r.at[0], ct_r.at[0], out_r.at[0],
+             oys, ois, oqs)
+
+    out = pl.pallas_call(
+        body,
+        grid=(RB,),
+        in_specs=[
+            pl.BlockSpec((1, Tp, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, outw, SUB, LANE), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((RB, outw, SUB, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((Tp + 1, SUB, LANE), jnp.int32)] * 3,
+        interpret=interpret,
+    )(sigT, wv, br, ct)
+
+    return out.swapaxes(0, 1).reshape(outw, Rp).T[:R]

@@ -1,0 +1,115 @@
+"""Fused encode kernel: per-line IIR bandlimit + quadrature carrier multiply
++ IRE scale/clamp, emitting int8 composite samples directly.
+
+Covers every RGB-family encoder (the carrier tables arrive premultiplied by
+the CC_PHASE sign / per-line vertical phase row, so NTSC, VHS, SNES-style and
+NESRGB all reduce to the same kernel); the IIR coefficients are compile-time
+constants (crt_ntsc.c:142-147 derives them from static config).  Inputs ride
+int16 (RGB->YIQ of 8-bit pixels is < 2^11); output is the clamped 0..110 IRE
+int8 block ready to scatter into the analog field — one third of the
+unfused pipeline's HBM traffic and no intermediate materializations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ntsc_crt_tpu.ops.fixedpoint import EXP_P
+
+LANE = 128
+SUB = 8
+K = 32  # serial unroll; multiple of the 4-sample chroma period
+
+
+def _make_kernel(T, coefs, xo_mod):
+    def kernel(fy_ref, fi_ref, fq_ref, mi_ref, mq_ref, gain_ref, base_ref,
+               out_ref):
+        gain = gain_ref[0]
+        base = base_ref[0]
+        zero = jnp.zeros_like(gain)
+
+        def chunk(tb, carry):
+            hy, hi, hq = carry
+            ry = fy_ref[pl.ds(tb * K, K)]
+            ri = fi_ref[pl.ds(tb * K, K)]
+            rq = fq_ref[pl.ds(tb * K, K)]
+            outs = []
+            for j in range(K):
+                sy = ry[j].astype(jnp.int32)
+                si = ri[j].astype(jnp.int32)
+                sq = rq[j].astype(jnp.int32)
+                if coefs is not None:
+                    cY, cI, cQ = coefs
+                    hy = hy + (((sy - hy) * cY) >> EXP_P)  # crt_ntsc.c:117-126
+                    hi = hi + (((si - hi) * cI) >> EXP_P)
+                    hq = hq + (((sq - hq) * cQ) >> EXP_P)
+                    vy, vi, vq = hy, hi, hq
+                else:
+                    vy, vi, vq = sy, si, sq                # CRT_DO_BANDLIMITING 0
+                ph = (j + xo_mod) % 4                      # static in-chunk
+                vi = (vi * mi_ref[ph]) >> 4                # crt_ntsc.c:316-317
+                vq = (vq * mq_ref[ph]) >> 4
+                ire = base + (((vy + vi + vq) * gain) >> 10)
+                outs.append(jnp.clip(ire, 0, 110).astype(jnp.int8))
+            out_ref[pl.ds(tb * K, K)] = jnp.stack(outs)
+            return hy, hi, hq
+
+        lax.fori_loop(0, T // K, chunk, (zero, zero, zero))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("coefs", "xo_mod", "interpret"))
+def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
+                      coefs, xo_mod: int, interpret: bool = False):
+    """fy/fi/fq: int16 (R, T) YIQ; modI/modQ: int32 (R, 4) carrier tables
+    (premultiplied by any phase sign); gain/base: int32 (R,).
+    coefs: (cY, cI, cQ) python ints or None.  xo_mod: static (xo % 4).
+    Returns clamped IRE int8 (R, T)."""
+    R, T = fy.shape
+    Tp = -(-T // K) * K
+    rows_blk = SUB * LANE
+    Rp = -(-R // rows_blk) * rows_blk
+    RB = Rp // rows_blk
+
+    def tiles(x, n, dtype):
+        xp = jnp.zeros((Rp, n), dtype).at[:R].set(x.reshape(R, n).astype(dtype))
+        return xp.T.reshape(n, RB, SUB, LANE).swapaxes(0, 1)
+
+    fyt = tiles(jnp.pad(jnp.asarray(fy, jnp.int16), ((0, 0), (0, Tp - T))),
+                Tp, jnp.int16)
+    fit = tiles(jnp.pad(jnp.asarray(fi, jnp.int16), ((0, 0), (0, Tp - T))),
+                Tp, jnp.int16)
+    fqt = tiles(jnp.pad(jnp.asarray(fq, jnp.int16), ((0, 0), (0, Tp - T))),
+                Tp, jnp.int16)
+    mi = tiles(modI, 4, jnp.int32)
+    mq = tiles(modQ, 4, jnp.int32)
+    g = tiles(gain, 1, jnp.int32)
+    b = tiles(base, 1, jnp.int32)
+
+    kern = _make_kernel(Tp, coefs, xo_mod)
+
+    def body(*refs):
+        f1, f2, f3, m1, m2, gg, bb, out = refs
+        kern(f1.at[0], f2.at[0], f3.at[0], m1.at[0], m2.at[0],
+             gg.at[0], bb.at[0], out.at[0])
+
+    spec = lambda n: pl.BlockSpec((1, n, SUB, LANE), lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        body,
+        grid=(RB,),
+        in_specs=[spec(Tp)] * 3 + [spec(4)] * 2 + [spec(1)] * 2,
+        out_specs=spec(Tp),
+        out_shape=jax.ShapeDtypeStruct((RB, Tp, SUB, LANE), jnp.int8),
+        interpret=interpret,
+    )(fyt, fit, fqt, mi, mq, g, b)
+
+    return out.swapaxes(0, 1).reshape(Tp, Rp).T[:R, :T]
