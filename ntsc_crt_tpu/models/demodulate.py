@@ -80,10 +80,13 @@ def _inject_noise(cfg: SystemConfig, analog_flat, rn, noise):
     """crt_core.c:346-367, batched: analog_flat (B, N) int32, rn (B,)."""
     n = cfg.input_size
     apow, csum = lcg._lcg_tables(n, lcg.LCG_A, lcg.LCG_B)
-    rn0 = lax.bitcast_convert_type(i32(rn), jnp.uint32)[:, None]
-    stream = jnp.asarray(apow)[None, :] * rn0 + jnp.asarray(csum)[None, :]
+    rn0 = lax.bitcast_convert_type(i32(rn), jnp.uint32)
+    stream = jnp.asarray(apow)[None, :] * rn0[:, None] + jnp.asarray(csum)[None, :]
     byte = ((stream >> 16) & 0xFF).astype(jnp.int32) - 0x7F
-    rn_out = lax.bitcast_convert_type(stream[:, -1], jnp.int32)
+    # final state computed separately so `stream` has a single consumer and
+    # the whole injection fuses into one elementwise pass
+    rn_out = lax.bitcast_convert_type(
+        jnp.asarray(apow[-1]) * rn0 + jnp.asarray(csum[-1]), jnp.int32)
     s = analog_flat + ((byte * noise[:, None]) >> 8)
     return jnp.clip(s, -127, 127).astype(jnp.int8), rn_out
 
@@ -458,7 +461,8 @@ def demodulate_core(
         rgb = jnp.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
                          packed & 0xFF], axis=-1)
         out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
-                              _b(mon.blend, B), _b(mon.scanlines, B), outh)
+                              mon.blend, mon.scanlines, outh,
+                              field_px=field_px, v_fac=v_fac)
         state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new,
                      rn=rn_new, randstate=randstate, inp=inp2d)
         return out_new, state
@@ -531,15 +535,63 @@ def demodulate_core(
 
     out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
                           _b(mon.blend, B), _b(mon.scanlines, B), outh,
-                          valid=valid)
+                          valid=valid, field_px=field_px, v_fac=v_fac)
 
     state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new, rn=rn_new,
                  randstate=randstate, inp=inp2d)
     return out_new, state
 
 
+def _concrete_int(x):
+    """Python int if x is a trace-time constant, else None."""
+    if isinstance(x, jax.core.Tracer):
+        return None
+    arr = np.asarray(x)
+    if arr.ndim == 0 or (arr == arr.ravel()[0]).all():
+        return int(arr.ravel()[0])
+    return None
+
+
+def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
+                        scanlines: int, outh, ratio: int):
+    """Fast row placement for the uniform case outh == ratio * CRT_LINES:
+    line l covers rows [ratio*l + f, ratio*(l+1) + f), the first written,
+    the next ratio-1-scanlines duplicated — a static jnp.repeat plus strided
+    slices instead of one-hot matmuls.  Bit-identical to _place_rows."""
+    B, L = rgb.shape[0], rgb.shape[1]
+    # all-uint8 data path: values stay < 256 throughout (the 50/50 blend is
+    # (c>>1)+(o>>1) <= 254), quartering the HBM traffic vs int32
+    content = jnp.repeat(jnp.asarray(rgb, jnp.uint8), ratio, axis=1)
+    old = jnp.asarray(out_prev, jnp.uint8)
+    rows = jnp.arange(outh, dtype=jnp.int32)
+
+    def variant(f: int):
+        if blend:
+            # blend against the previous contents of each line's beg row,
+            # for the beg row and all its duplicates (crt_core.c:552-664)
+            old_beg = jnp.repeat(old[:, f::ratio][:, :L], ratio, axis=1)
+            cnt = (content >> 1) + (old_beg >> 1)
+        else:
+            cnt = content
+        # shift down by f rows; rows < f and scanline gaps keep old contents
+        if f:
+            cnt = jnp.concatenate([old[:, :f], cnt[:, :outh - f]], axis=1)
+        else:
+            cnt = cnt[:, :outh]
+        rel = rows - f
+        keep_old = ((rel % ratio) >= (ratio - scanlines)) & (rel >= 0)             | (rel < 0)
+        return jnp.where(keep_old[None, :, None, None], old, cnt)
+
+    base = variant(0)
+    fp = ratio // 2
+    if fp == 0:
+        return base
+    shifted = variant(fp)
+    return jnp.where((field_px > 0)[:, None, None, None], shifted, base)
+
+
 def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
-                outh, valid=None):
+                outh, valid=None, field_px=None, v_fac=0):
     """Reproduce the reference's sequential row writes (store at `beg`,
     memcpy-duplicate up to `end - scanlines`, blend vs previous contents;
     crt_core.c:552-664) as a pure per-output-row one-hot select.
@@ -552,6 +604,13 @@ def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
     lower blend or use outh >= CRT_LINES.
     """
     B, L = rgb.shape[0], rgb.shape[1]
+    bl_c = _concrete_int(blend)
+    sl_c = _concrete_int(scanlines)
+    if (valid is None and field_px is not None and bl_c is not None
+            and sl_c is not None and (outh + v_fac) % L == 0
+            and 0 <= sl_c < (outh + v_fac) // L):
+        return _place_rows_uniform(cfg, rgb, out_prev, field_px, bl_c, sl_c,
+                                   outh, (outh + v_fac) // L)
     end_c = jnp.minimum(end_l, outh)
     cov_end = jnp.maximum(beg_l + 1, end_c - scanlines[:, None])
 

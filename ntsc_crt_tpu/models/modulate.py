@@ -570,6 +570,17 @@ def modulate_nesrgb(
     pix = _resample(cfg, img_u8, sy, destw)
     fy, fi, fq = _rgb_to_yiq(pix)
 
+    if filters._use_pallas() and CC == 4:
+        phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
+        mi_rows = jnp.take(ccmodI, phr, axis=1)
+        mq_rows = jnp.take(ccmodQ, phr, axis=1)
+        gain = cdiv(cfg.white_level * white_point, 100)
+        base = cfg.black_level + black_point
+        ire = _encode_active_fused(cfg, fy, fi, fq, mi_rows, mq_rows,
+                                   gain, base, xo)
+        analog = _store_active(analog, ire, xo, yo)
+        return analog, ccf
+
     ph_row = (np.arange(desth, dtype=np.int64) + yo) % VP
     xoff = (np.arange(destw, dtype=np.int64) + xo) % CC
     sel2 = np.zeros((desth, destw, VP, CC), np.float32)
