@@ -728,9 +728,12 @@ def modulate_nes(
     rsel[np.arange(desth), sy] = 1
     csel = np.zeros((w, destw), np.float32)
     csel[sx, np.arange(destw)] = 1
+    # PPU indices reach 511 > bf16's exact integer range, and TPU f32
+    # matmuls default to bf16 passes — force full-precision accumulation
     p = jnp.einsum("yh,bhw,wd->byd", jnp.asarray(rsel),
                    ppu.astype(jnp.float32), jnp.asarray(csel),
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
 
     phasetab = jnp.asarray(_NES_PHASETAB, jnp.int32)
 
