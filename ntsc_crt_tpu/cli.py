@@ -43,10 +43,16 @@ def main(argv=None):
     raw = "r" in flags
     save_analog = "a" in flags
 
+    dooverwrite = "o" not in flags  # -o disables the prompt (crt_main.c:102)
     outw, outh = int(argv[1]), int(argv[2])
     noise = max(0, int(argv[3]))
     hue = int(argv[4]) % 360
     infile, outfile = argv[5], argv[6]
+
+    if dooverwrite and Path(outfile).exists():
+        c = input(f"--- file ({outfile}) already exists, overwrite? (y/n)\n")
+        if not c.lower().startswith("y"):
+            return 1
 
     import jax.numpy as jnp
     from ntsc_crt_tpu.models.systems import NTSC
@@ -115,16 +121,14 @@ def video_main(argv=None):
                         scanlines=np.int32(1 if args.scanlines else 0),
                         saturation=np.int32(10))
     state = pipeline.crt_init(cfg, args.outw, args.outh)
-    step = _build_step(cfg, args.outw, args.outh, np.int32(args.noise), mon)
 
     import jax
-    from ntsc_crt_tpu.models import pipeline as P
 
     def stepfn(state, img, field, frame, dco):
-        return P.step(cfg, state, img, field=field, frame=frame,
-                      noise=np.int32(args.noise), mon=mon,
-                      dot_crawl_offset=dco,
-                      do_aberration=np.int32(1 if args.aberration else 0))
+        return pipeline.step(cfg, state, img, field=field, frame=frame,
+                             noise=np.int32(args.noise), mon=mon,
+                             dot_crawl_offset=dco,
+                             do_aberration=np.int32(1 if args.aberration else 0))
 
     stepfn = jax.jit(stepfn)
 

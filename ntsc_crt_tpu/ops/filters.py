@@ -89,14 +89,25 @@ def init_iir(freq: int, limit: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def iir_lowpass(s: jax.Array, c) -> jax.Array:
+def iir_lowpass(s: jax.Array, c, hipass: bool = False) -> jax.Array:
     """h += ((s - h) * c) >> 11 marched along the LAST axis, h reset to 0.
 
     s: int32 [..., n]; c: int32 scalar or broadcastable to s[..., 0].
-    Returns the filtered sequence (the reference returns h per sample).
+    Returns the filtered sequence (the reference returns h per sample);
+    hipass=True returns s - h instead — the reference's HIPASS debug
+    fixture (crt_ntsc.c:114-126).
     """
     s = jnp.asarray(s, jnp.int32)
     c = jnp.asarray(c, jnp.int32)
+    if hipass:
+        xs = jnp.moveaxis(s, -1, 0)
+
+        def hstep(h, sx):
+            h = h + (((sx - h) * c) >> EXP_P)
+            return h, sx - h
+
+        _, ys = lax.scan(hstep, jnp.zeros_like(xs[0]), xs)
+        return jnp.moveaxis(ys, 0, -1)
     if _use_pallas():
         from ntsc_crt_tpu.ops.pallas import filters_pallas as fp
         lead = s.shape[:-1]
