@@ -1,0 +1,117 @@
+"""Pallas kernels vs the portable scan/matmul paths, interpret-mode on CPU.
+Small shapes keep the interpreter tractable; equality must be exact."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ntsc_crt_tpu.ops import filters, fastpath
+from ntsc_crt_tpu.models import demodulate as dem
+from ntsc_crt_tpu.models.systems import NTSC as cfg
+
+R, T, OUTW = 160, 256, 200
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_eq_kernel_matches_scan(rng):
+    from ntsc_crt_tpu.ops.pallas import filters_pallas as fp
+    x = jnp.asarray(rng.randint(-30000, 30000, (R, T), dtype=np.int32))
+    mk = lambda v: jnp.full((R,), v, jnp.int32)
+    ref = filters.eq_threeband(x, 360, 32684, 65536, 8192, 9175)
+    got = fp.eq_threeband_rows(x, mk(360), mk(32684), mk(65536), mk(8192),
+                               mk(9175), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_iir_kernel_matches_scan(rng):
+    from ntsc_crt_tpu.ops.pallas import filters_pallas as fp
+    x = jnp.asarray(rng.randint(-30000, 30000, (R, T), dtype=np.int32))
+    ref = filters.iir_lowpass(x, 500)
+    got = fp.iir_lowpass_rows(x, jnp.full((R,), 500, jnp.int32),
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_scanconv_kernel_matches_limb_matmul(rng):
+    from ntsc_crt_tpu.ops.pallas import scanconv_pallas as sc
+    oy = jnp.asarray(rng.randint(-(1 << 14), 1 << 14, (R, T), dtype=np.int32))
+    oi = jnp.asarray(rng.randint(-(1 << 12), 1 << 12, (R, T), dtype=np.int32))
+    oq = jnp.asarray(rng.randint(-(1 << 12), 1 << 12, (R, T), dtype=np.int32))
+    ct = jnp.full((R,), 180, jnp.int32)
+    got = np.asarray(sc.scanconv_rows(oy, oi, oq, ct, outw=OUTW,
+                                      interpret=True))
+    yv = np.asarray(fastpath.lerp_resample(oy, OUTW, 2))
+    iv = np.asarray(fastpath.lerp_resample(oi, OUTW, 14))
+    qv = np.asarray(fastpath.lerp_resample(oq, OUTW, 14))
+    r = np.clip((((yv + 3879 * iv + 2556 * qv) >> 12) * 180) >> 8, 0, 255)
+    g = np.clip((((yv - 1126 * iv - 2605 * qv) >> 12) * 180) >> 8, 0, 255)
+    b = np.clip((((yv - 4530 * iv + 7021 * qv) >> 12) * 180) >> 8, 0, 255)
+    np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
+
+
+def test_decode_fused_matches_unfused(rng):
+    from ntsc_crt_tpu.ops.pallas import decode_fused as df
+    sig = jnp.asarray(rng.randint(-127, 128, (R, T), dtype=np.int8))
+    wave = jnp.asarray(rng.randint(-60000, 60000, (R, 4), dtype=np.int32))
+    bright = jnp.asarray(rng.randint(-20, 20, (R,), dtype=np.int32))
+    ct = jnp.full((R,), 180, jnp.int32)
+    eqY, eqI, eqQ = dem._eq_coefs(cfg)
+    got = np.asarray(df.decode_fused_rows(
+        sig, wave, bright, ct, outw=OUTW,
+        coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)), interpret=True))
+
+    sig32 = jnp.asarray(sig, jnp.int32)
+    wv_i = fastpath.tile_period(wave, T, 0)
+    wv_q = fastpath.tile_period(wave, T, 3)
+    stacked = jnp.stack([sig32 + bright[:, None], (sig32 * wv_i) >> 9,
+                         (sig32 * wv_q) >> 9], axis=1)
+    mk = lambda *v: jnp.asarray(v, jnp.int32)[None, :]
+    e = filters.eq_threeband(
+        stacked, mk(eqY.lf, eqI.lf, eqQ.lf), mk(eqY.hf, eqI.hf, eqQ.hf),
+        mk(eqY.g_lo, eqI.g_lo, eqQ.g_lo), mk(eqY.g_mid, eqI.g_mid, eqQ.g_mid),
+        mk(eqY.g_hi, eqI.g_hi, eqQ.g_hi))
+    oy, oi, oq = e[:, 0] << 4, e[:, 1] >> 3, e[:, 2] >> 3
+    yv = np.asarray(fastpath.lerp_resample(oy, OUTW, 2))
+    iv = np.asarray(fastpath.lerp_resample(oi, OUTW, 14))
+    qv = np.asarray(fastpath.lerp_resample(oq, OUTW, 14))
+    r = np.clip((((yv + 3879 * iv + 2556 * qv) >> 12) * 180) >> 8, 0, 255)
+    g = np.clip((((yv - 1126 * iv - 2605 * qv) >> 12) * 180) >> 8, 0, 255)
+    b = np.clip((((yv - 4530 * iv + 7021 * qv) >> 12) * 180) >> 8, 0, 255)
+    np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
+
+
+def test_encode_fused_matches_unfused(rng):
+    import os
+    os.environ["NTSC_CRT_FORCE_SCAN"] = "1"
+    try:
+        from ntsc_crt_tpu.ops.pallas import encode_fused as ef
+        fy = jnp.asarray(rng.randint(0, 1021, (R, T), dtype=np.int16))
+        fi = jnp.asarray(rng.randint(-700, 700, (R, T), dtype=np.int16))
+        fq = jnp.asarray(rng.randint(-600, 600, (R, T), dtype=np.int16))
+        modI = jnp.asarray(rng.randint(-32, 33, (R, 4), dtype=np.int32))
+        modQ = jnp.asarray(rng.randint(-32, 33, (R, 4), dtype=np.int32))
+        gain = jnp.full((R,), 100, jnp.int32)
+        base = jnp.full((R,), 7, jnp.int32)
+        cY = filters.init_iir(cfg.l_freq, cfg.y_freq)
+        cI = filters.init_iir(cfg.l_freq, cfg.i_freq)
+        cQ = filters.init_iir(cfg.l_freq, cfg.q_freq)
+        got = np.asarray(ef.encode_fused_rows(
+            fy, fi, fq, modI, modQ, gain, base,
+            coefs=(cY, cI, cQ), xo_mod=0, interpret=True))
+
+        yiq = jnp.stack([jnp.asarray(fy, jnp.int32), jnp.asarray(fi, jnp.int32),
+                         jnp.asarray(fq, jnp.int32)], axis=1)
+        flt = filters.iir_lowpass(yiq, jnp.asarray([cY, cI, cQ])[None, :])
+        vy, vi, vq = [np.asarray(v) for v in (flt[:, 0], flt[:, 1], flt[:, 2])]
+        xoff = np.arange(T) % 4
+        mi = np.asarray(modI)[:, xoff]
+        mq = np.asarray(modQ)[:, xoff]
+        ire = 7 + ((vy + ((vi * mi) >> 4) + ((vq * mq) >> 4)) * 100 >> 10)
+        np.testing.assert_array_equal(got, np.clip(ire, 0, 110).astype(np.int8))
+    finally:
+        os.environ.pop("NTSC_CRT_FORCE_SCAN", None)
