@@ -453,13 +453,11 @@ def demodulate_core(
         eqY, eqI, eqQ = _eq_coefs(cfg)
         ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
         brr = jnp.broadcast_to(bright[:, None], (B, L))
-        packed = _df.decode_fused_rows(
+        r8, g8, b8 = _df.decode_fused_rows(
             sig.astype(jnp.int8).reshape(B * L, AV),
             wave_l.reshape(B * L, CC), brr.reshape(B * L), ctr.reshape(B * L),
-            outw=outw,
-            coefs=(tuple(eqY), tuple(eqI), tuple(eqQ))).reshape(B, L, outw)
-        rgb = jnp.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
-                         packed & 0xFF], axis=-1)
+            outw=outw, coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)))
+        rgb = jnp.stack([r8, g8, b8], axis=-1).reshape(B, L, outw, 3)
         out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
                               mon.blend, mon.scanlines, outh,
                               field_px=field_px, v_fac=v_fac)

@@ -32,7 +32,7 @@ from ntsc_crt_tpu.ops.filters import EQ_P, EQ_R
 from ntsc_crt_tpu.ops.fastpath import lerp_resample_weights
 
 LANE = 128
-SUB = 4
+SUB = 8   # full-VPU tiles; VMEM fits via the three uint8 output planes
 K = 32  # serial unroll; multiple of the 4-sample chroma period
 
 
@@ -54,7 +54,7 @@ def _eq_chain(state, sx, lf, hf, g0, g1, g2):
 def _make_kernel(T, outw, coefs, smap):
     cy, ci, cq = coefs  # per-channel (lf, hf, g0, g1, g2) python ints
 
-    def kernel(sig_ref, wv_ref, br_ref, ct_ref, out_ref,
+    def kernel(sig_ref, wv_ref, br_ref, ct_ref, r_ref, g_ref, b_ref,
                oy_s, oi_s, oq_s):
         bright = br_ref[0]
         zero = jnp.zeros_like(bright)
@@ -90,8 +90,9 @@ def _make_kernel(T, outw, coefs, smap):
             r = (((y + 3879 * i + 2556 * q) >> 12) * contrast) >> 8
             g = (((y - 1126 * i - 2605 * q) >> 12) * contrast) >> 8
             b = (((y - 4530 * i + 7021 * q) >> 12) * contrast) >> 8
-            out_ref[p] = ((jnp.clip(r, 0, 255) << 16)
-                          | (jnp.clip(g, 0, 255) << 8) | jnp.clip(b, 0, 255))
+            r_ref[p] = jnp.clip(r, 0, 255).astype(jnp.uint8)
+            g_ref[p] = jnp.clip(g, 0, 255).astype(jnp.uint8)
+            b_ref[p] = jnp.clip(b, 0, 255).astype(jnp.uint8)
 
     return kernel
 
@@ -101,8 +102,8 @@ def _make_kernel(T, outw, coefs, smap):
 def decode_fused_rows(sig, wave, bright, contrast, *, outw: int,
                       coefs, interpret: bool = False):
     """sig: int8 (R, T); wave: int32 (R, 4); bright/contrast: int32 (R,).
-    coefs: ((lf,hf,g0,g1,g2) x 3) python ints.  Returns packed RGB int32
-    (R, outw) — r<<16 | g<<8 | b, clamped."""
+    coefs: ((lf,hf,g0,g1,g2) x 3) python ints.  Returns clamped uint8
+    planes (r, g, b), each (R, outw)."""
     R, T = sig.shape
     Tp = -(-T // K) * K
     s, L, Rw = lerp_resample_weights(T, outw)
@@ -126,11 +127,13 @@ def decode_fused_rows(sig, wave, bright, contrast, *, outw: int,
     kern = _make_kernel(Tp, outw, coefs, smap)
 
     def body(*refs):
-        sig_r, wv_r, br_r, ct_r, out_r, oys, ois, oqs = refs
-        kern(sig_r.at[0], wv_r.at[0], br_r.at[0], ct_r.at[0], out_r.at[0],
-             oys, ois, oqs)
+        sig_r, wv_r, br_r, ct_r, r_r, g_r, b_r, oys, ois, oqs = refs
+        kern(sig_r.at[0], wv_r.at[0], br_r.at[0], ct_r.at[0],
+             r_r.at[0], g_r.at[0], b_r.at[0], oys, ois, oqs)
 
-    out = pl.pallas_call(
+    ospec = pl.BlockSpec((1, outw, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    r8, g8, b8 = pl.pallas_call(
         body,
         grid=(RB,),
         in_specs=[
@@ -143,11 +146,16 @@ def decode_fused_rows(sig, wave, bright, contrast, *, outw: int,
             pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, outw, SUB, LANE), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((RB, outw, SUB, LANE), jnp.int32),
+        out_specs=(ospec, ospec, ospec),
+        out_shape=tuple(jax.ShapeDtypeStruct((RB, outw, SUB, LANE), jnp.uint8)
+                        for _ in range(3)),
         scratch_shapes=[pltpu.VMEM((Tp + 1, SUB, LANE), jnp.int32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(sigT, wv, br, ct)
 
-    return out.swapaxes(0, 1).reshape(outw, Rp).T[:R]
+    def back(x):
+        return x.swapaxes(0, 1).reshape(outw, Rp).T[:R]
+
+    return back(r8), back(g8), back(b8)

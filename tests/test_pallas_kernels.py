@@ -61,9 +61,11 @@ def test_decode_fused_matches_unfused(rng):
     bright = jnp.asarray(rng.randint(-20, 20, (R,), dtype=np.int32))
     ct = jnp.full((R,), 180, jnp.int32)
     eqY, eqI, eqQ = dem._eq_coefs(cfg)
-    got = np.asarray(df.decode_fused_rows(
+    r8, g8, b8 = df.decode_fused_rows(
         sig, wave, bright, ct, outw=OUTW,
-        coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)), interpret=True))
+        coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)), interpret=True)
+    got = (np.asarray(r8).astype(np.int64) << 16) \
+        | (np.asarray(g8).astype(np.int64) << 8) | np.asarray(b8)
 
     sig32 = jnp.asarray(sig, jnp.int32)
     wv_i = fastpath.tile_period(wave, T, 0)
