@@ -226,11 +226,12 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
     # over 16 samples, first <= thresh wins; fall-through keeps i == W
     thresh = cfg.hsync_thresh * cfg.sync_level
     c0 = cfg.sync_beg - W
-    run = jnp.zeros((B, L, H), jnp.int32)
+    # int16 running sums: |sum of <= 16 int8 samples| < 2^12
+    run = jnp.zeros((B, L, H), jnp.int16)
     ib = jnp.full((B, L, H), W, jnp.int8)
     found = jnp.zeros((B, L, H), bool)
     for j in range(2 * W):
-        run = run + rows2[:, :, c0 + j:c0 + j + H].astype(jnp.int32)
+        run = run + rows2[:, :, c0 + j:c0 + j + H].astype(jnp.int16)
         hit = (run <= thresh) & ~found
         ib = jnp.where(hit, jnp.int8(j - W), ib)
         found = found | hit
