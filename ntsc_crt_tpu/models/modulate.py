@@ -215,8 +215,23 @@ def _encode_active_fused(cfg, fy, fi, fq, modI_rows, modQ_rows, gain, base,
 
 
 def _store_active(analog, ire, xo: int, yo: int):
+    """Scatter the active block at (yo, xo) with the reference's FLAT
+    indexing semantics (crt_ntsc.c:322: analog[(x+xo) + (y+yo)*HRES]):
+    a row whose xo + destw exceeds HRES spills into the start of the next
+    row; writes past the final row (UB in the reference) are clipped."""
     B, desth, destw = ire.shape
-    return analog.at[:, yo:yo + desth, xo:xo + destw].set(ire)
+    V, H = analog.shape[1], analog.shape[2]
+    spill = xo + destw - H
+    if spill <= 0:
+        rows = min(desth, V - yo)
+        return analog.at[:, yo:yo + rows, xo:xo + destw].set(ire[:, :rows])
+    main_w = destw - spill
+    rows = min(desth, V - yo)
+    analog = analog.at[:, yo:yo + rows, xo:].set(ire[:, :rows, :main_w])
+    rows2 = min(desth, V - yo - 1)
+    analog = analog.at[:, yo + 1:yo + 1 + rows2, :spill].set(
+        ire[:, :rows2, main_w:])
+    return analog
 
 
 def _ire_scale(cfg, fy, fi, fq, black_point, white_point):
@@ -765,5 +780,5 @@ def modulate_nes(
     ire = _nes_square_sum4(p, ph0[..., None] + xphase)
     ire = cfg.black_level + black_point[:, None, None] + ire
     ire = cdiv(ire * white_point[:, None, None], 100) >> 12  # crt_nes.c:190
-    analog = analog.at[:, yo:yo + desth, xo:xo + destw].set(_wrap_i8(ire))
+    analog = _store_active(analog, _wrap_i8(ire), xo, yo)
     return analog, ccf
