@@ -71,7 +71,9 @@ bool decode_ppm(const std::vector<uint8_t>& d, uint8_t* rgb, int h, int w) {
     if (fw != w || fh != h || maxc <= 0 || maxc > 255) return false;
     pos++;  // single whitespace after maxval
     size_t need = static_cast<size_t>(w) * h * 3;
-    if (d.size() - pos < need) return false;
+    // overflow-safe: pos can be d.size()+1 when the file ends right after
+    // the maxval digits; d.size() - pos would underflow (size_t)
+    if (pos > d.size() || d.size() - pos < need) return false;
     const uint8_t* src = d.data() + pos;
     if (maxc == 255) {
         std::memcpy(rgb, src, need);

@@ -18,13 +18,14 @@ from pathlib import Path
 import numpy as np
 
 
-def _build_step(cfg, outw, outh, noise, mon):
+def _build_step(cfg, outw, outh, noise, mon, *, as_color=1, raw=False):
     import jax
     from ntsc_crt_tpu.models import pipeline
 
-    def fn(state, img, field, frame, dco):
+    def fn(state, img, field, frame, dco, hue):
         return pipeline.step(cfg, state, img, field=field, frame=frame,
-                             noise=noise, mon=mon, dot_crawl_offset=dco)
+                             hue=hue, noise=noise, mon=mon, as_color=as_color,
+                             raw=raw, dot_crawl_offset=dco)
 
     return jax.jit(fn)
 
@@ -46,7 +47,8 @@ def main(argv=None):
     dooverwrite = "o" not in flags  # -o disables the prompt (crt_main.c:102)
     outw, outh = int(argv[1]), int(argv[2])
     noise = max(0, int(argv[3]))
-    hue = int(argv[4]) % 360
+    hue = int(argv[4])
+    hue = hue % 360 if hue >= 0 else -((-hue) % 360)  # C `hue %= 360`
     infile, outfile = argv[5], argv[6]
 
     if dooverwrite and Path(outfile).exists():
@@ -66,18 +68,19 @@ def main(argv=None):
     cfg = NTSC
     mon = MonitorParams(blend=np.int32(1), scanlines=np.int32(1))
     state = pipeline.crt_init(cfg, outw, outh)
-    step = _build_step(cfg, outw, outh, np.int32(noise), mon)
+    step = _build_step(cfg, outw, outh, np.int32(noise), mon,
+                       as_color=np.int32(1 if docolor else 0), raw=raw)
 
     imgj = jnp.asarray(img)
     frame = 0
     print(f"converting to {outw}x{outh}...")
     for it in range(4):  # accumulate 4 frames (crt_main.c:241-255)
         state = step(state, imgj, np.int32(field), np.int32(frame),
-                     np.int32(0))
+                     np.int32(0), np.int32(hue))
         if not progressive:
             field ^= 1
             state = step(state, imgj, np.int32(field), np.int32(frame),
-                         np.int32(0))
+                         np.int32(0), np.int32(hue))
             if (it & 1) == 0:
                 frame ^= 1
 

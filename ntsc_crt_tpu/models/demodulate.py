@@ -460,7 +460,7 @@ def demodulate_core(
             outw=outw, coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)))
         rgb = jnp.stack([r8, g8, b8], axis=-1).reshape(B, L, outw, 3)
         out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
-                              mon.blend, mon.scanlines, outh,
+                              _b(mon.blend, B), _b(mon.scanlines, B), outh,
                               field_px=field_px, v_fac=v_fac)
         state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new,
                      rn=rn_new, randstate=randstate, inp=inp2d)
@@ -503,6 +503,11 @@ def demodulate_core(
         def lerp_dyn(v, sh):
             a = jnp.take_along_axis(v, s_rel, axis=2)
             bb = jnp.take_along_axis(v, s_rel + 1, axis=2)
+            # the reference's bloom EQ loop runs i < R = AV_LEN-1, so
+            # out[AV_LEN-1] is never written and reads as static zero
+            # (crt_core.c:525-543, 565-566); our shifted buffer holds an
+            # EQ-of-padding value there instead — force it to zero
+            bb = jnp.where(s_rel + 1 == (AV - 1) - Lidx[..., None], 0, bb)
             return ((a * Lw) >> sh) + ((bb * Rw) >> sh)
 
         yv = lerp_dyn(oy, 2)
@@ -568,7 +573,12 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
         if blend:
             # blend against the previous contents of each line's beg row,
             # for the beg row and all its duplicates (crt_core.c:552-664)
-            old_beg = jnp.repeat(old[:, f::ratio][:, :L], ratio, axis=1)
+            beg_rows = old[:, f::ratio][:, :L]
+            if beg_rows.shape[1] < L:  # outh < ratio*L (v_fac > 0): pad —
+                beg_rows = jnp.pad(    # the excess rows are sliced off below
+                    beg_rows,
+                    ((0, 0), (0, L - beg_rows.shape[1]), (0, 0), (0, 0)))
+            old_beg = jnp.repeat(beg_rows, ratio, axis=1)
             cnt = (content >> 1) + (old_beg >> 1)
         else:
             cnt = content
@@ -582,7 +592,10 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
         return jnp.where(keep_old[None, :, None, None], old, cnt)
 
     base = variant(0)
-    fp = ratio // 2
+    # the odd-field shift is the reference's `field * (ratio/2)` where ratio
+    # is round(outh / CRT_LINES) — NOT the uniform repeat factor, which
+    # differs when v_fac > 0 (crt_core.c:404-407)
+    fp = ((((outh << 16) // L) + 32768) >> 16) // 2
     if fp == 0:
         return base
     shifted = variant(fp)

@@ -76,6 +76,36 @@ def test_cli_matches_reference_cli(tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("flags,hue,kw", [
+    ("-op", 123, dict()),                    # nonzero artifact hue
+    ("-op", -77, dict()),                    # negative hue: C `%= 360` keeps sign
+    ("-omp", 0, dict(as_color=0)),           # -m monochrome
+    ("-orp", 0, dict(raw=1)),                # -r raw image
+])
+def test_cli_flag_forwarding(tmp_path, flags, hue, kw):
+    """hue/-m/-r must reach the encoder (crt_main.c:229-232; ADVICE.md r1:
+    artifact_hue was parsed but silently dropped)."""
+    from ntsc_crt_tpu import cli
+    from oracle import Oracle
+
+    img = _img(6, w=96, h=72)
+    inp = tmp_path / "in.ppm"
+    outp = tmp_path / "out.ppm"
+    imageio.ppm_write(inp, img)
+    rc = cli.main([flags, "320", "240", "0", str(hue), str(inp), str(outp)])
+    assert rc == 0
+    got = imageio.ppm_read(outp)
+
+    orc = Oracle("NTSC", outw=320, outh=240)
+    orc.crt.blend = 1
+    orc.crt.scanlines = 1
+    chue = hue % 360 if hue >= 0 else -((-hue) % 360)
+    for _ in range(4):  # -p: progressive, 4 frames (crt_main.c:241-249)
+        orc.modulate(img, field=0, frame=0, hue=chue, **kw)
+        ref = orc.demodulate(noise=0)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_analog_dump(tmp_path):
     from ntsc_crt_tpu import cli
     img = _img(5)
