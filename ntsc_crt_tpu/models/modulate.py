@@ -684,12 +684,18 @@ def modulate_nes(
     hue, dot_crawl_offset=0, xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100,
     border_color=0, draw_border: bool = False,
+    optimized: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """crt_nes.c:106-201 (the optimized path; bit-identical output).
 
     Square-wave synthesis, gather-free: PPU indices resampled via one-hot
     f32 matmuls, square_sample evaluated arithmetically.  draw_border
-    renders the PPU border region (NES_BORDER, crt_nes.c:138-161)."""
+    renders the PPU border region (NES_BORDER, crt_nes.c:138-161).
+    optimized=False reproduces the NES_OPTIMIZED=0 build instead
+    (crt_nes.c:204-308), whose only output difference is that the color
+    burst is written on EVERY non-vsync line (0..258), not just the active
+    rows — the optimized build's cached skeleton leaves blanking-line burst
+    regions blank."""
     assert cfg.kind == "nes"
     B = analog.shape[0]
     H, V, CC, VP = cfg.hres, cfg.vres, cfg.cc_samples, cfg.cc_vper
@@ -717,15 +723,19 @@ def modulate_nes(
 
     dt = fastpath._mm_dtype()
     t = np.arange(cfg.burst_len, dtype=np.int64) + cfg.cb_beg
-    row_cls = (np.arange(desth, dtype=np.int64) + yo) % VP
-    sel = np.zeros((desth, cfg.burst_len, VP, CC), np.float32)
-    sel[np.arange(desth)[:, None], np.arange(cfg.burst_len)[None, :],
+    if optimized:
+        brow0, brows = yo, desth           # active rows only (crt_nes.c:174)
+    else:
+        brow0, brows = 0, 259              # every non-vsync line (:249-253)
+    row_cls = (np.arange(brows, dtype=np.int64) + brow0) % VP
+    sel = np.zeros((brows, cfg.burst_len, VP, CC), np.float32)
+    sel[np.arange(brows)[:, None], np.arange(cfg.burst_len)[None, :],
         row_cls[:, None], (t % CC)[None, :]] = 1
     burst_cb = jnp.einsum("bvc,ytvc->byt", ccburst.astype(dt),
                           jnp.asarray(sel, dt),
                           preferred_element_type=jnp.float32).astype(jnp.int32)
     burst_vals = (cfg.blank_level + burst_cb * cfg.burst_level) >> 5
-    analog = analog.at[:, yo:yo + desth,
+    analog = analog.at[:, brow0:brow0 + brows,
                        cfg.cb_beg:cfg.cb_beg + cfg.burst_len].set(
         burst_vals.astype(jnp.int8))
 

@@ -84,7 +84,8 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
              black_point=0, white_point=100, raw: bool = False,
              dot_crawl_offset=0, do_aberration=0,
              do_bloom: bool = False,
-             border_color=0, draw_border: bool = False) -> CRTState:
+             border_color=0, draw_border: bool = False,
+             optimized: bool = True) -> CRTState:
     """Encode one frame (or batch of frames) into the analog buffer.
     Dispatches to the per-system encoder family like the reference's
     CRT_SYSTEM compile switch (crt_core.h:38-59)."""
@@ -104,7 +105,8 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
             cfg, state.analog, img, hue=hue, dot_crawl_offset=dot_crawl_offset,
             xoffset=xoffset, yoffset=yoffset,
             black_point=black_point, white_point=white_point,
-            border_color=border_color, draw_border=draw_border)
+            border_color=border_color, draw_border=draw_border,
+            optimized=optimized)
     elif cfg.name == "NESRGB":
         analog, ccf = _mod.modulate_nesrgb(
             cfg, state.analog, img, hue=hue, dot_crawl_offset=dot_crawl_offset,

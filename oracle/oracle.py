@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import re
 import subprocess
 from pathlib import Path
 
@@ -30,26 +31,70 @@ _ENCODER_SOURCES = [
     "crt_core.c", "crt_ntsc.c", "crt_nes.c", "crt_nesrgb.c", "crt_snes.c",
     "crt_pv1k.c", "crt_ntscvhs.c", "crt_template.c",
 ]
+_HEADERS = [s.replace(".c", ".h") for s in _ENCODER_SOURCES]
 
 # formats (crt_core.h:62-67)
 FMT_RGB, FMT_BGR, FMT_ARGB, FMT_RGBA, FMT_ABGR, FMT_BGRA = range(6)
 
 
-def build_oracle(system: str) -> Path:
-    """Compile the reference as a shared library for one system (cached)."""
+def _patch_defines(text: str, defines: dict[str, object],
+                   found: set | None = None) -> str:
+    """Rewrite the FIRST `#define NAME <value>` of each overridden macro.
+    Only the first: crt_core.c re-pins USE_CONVOLUTION inside the
+    CRT_CC_SAMPLES!=4 guard (crt_core.c:90-94), which must stay intact."""
+    for name, value in defines.items():
+        text, n = re.subn(rf"(?m)^#define {re.escape(name)}\b[^\n]*",
+                          f"#define {name} {value}", text, count=1)
+        if n and found is not None:
+            found.add(name)
+    return text
+
+
+def build_oracle(system: str, defines: dict[str, object] | None = None) -> Path:
+    """Compile the reference as a shared library for one system (cached).
+
+    `defines` overrides pinned compile-time macros (CRT_DO_BLOOM,
+    USE_CONVOLUTION, NES_BORDER, CRT_CHROMA_PATTERN, VHS_MODE,
+    CRT_DO_BANDLIMITING, CRT_DO_VSYNC/HSYNC ...) by compiling a patched COPY
+    of the sources — the defines live in-file, so -D can't override them."""
     sysid = SYSTEM_IDS[system]
     BUILD_DIR.mkdir(exist_ok=True)
-    so = BUILD_DIR / f"libcrt_{system.lower()}.so"
-    srcs = [str(REFERENCE / s) for s in _ENCODER_SOURCES]
-    shim = str(Path(__file__).resolve().parent / "crt_rand_shim.c")
-    stamp_inputs = srcs + [shim]
-    if so.exists() and all(so.stat().st_mtime > Path(s).stat().st_mtime for s in stamp_inputs):
-        return so
+    shim = Path(__file__).resolve().parent / "crt_rand_shim.c"
+    if defines:
+        tag = "_".join(f"{k}-{v}" for k, v in sorted(defines.items()))
+        tag = re.sub(r"[^A-Za-z0-9_.-]", "", tag).lower()
+        vdir = BUILD_DIR / f"variant_{system.lower()}_{tag}"
+        so = vdir / f"libcrt_{system.lower()}.so"
+        src_dir = vdir
+        stamp_inputs = [REFERENCE / s for s in _ENCODER_SOURCES + _HEADERS]
+        if not (so.exists() and all(
+                so.stat().st_mtime > s.stat().st_mtime
+                for s in list(stamp_inputs) + [shim])):
+            vdir.mkdir(parents=True, exist_ok=True)
+            found: set = set()
+            for name in _ENCODER_SOURCES + _HEADERS:
+                patched = _patch_defines((REFERENCE / name).read_text(),
+                                         defines, found)
+                (vdir / name).write_text(patched)
+            missing = set(defines) - found
+            if missing:  # a typo here would silently test the default build
+                raise ValueError(
+                    f"defines not found in any reference source: {missing}")
+        else:
+            return so
+    else:
+        so = BUILD_DIR / f"libcrt_{system.lower()}.so"
+        src_dir = REFERENCE
+        stamp_inputs = [REFERENCE / s for s in _ENCODER_SOURCES] + [shim]
+        if so.exists() and all(so.stat().st_mtime > s.stat().st_mtime
+                               for s in stamp_inputs):
+            return so
+    srcs = [str(src_dir / s) for s in _ENCODER_SOURCES]
     cmd = [
         "gcc", "-O2", "-fPIC", "-shared", "-fwrapv",
         f"-DCRT_SYSTEM={sysid}",
         "-Drand=crt_oracle_rand", "-Dsrand=crt_oracle_srand",
-        "-o", str(so), *srcs, shim,
+        "-o", str(so), *srcs, str(shim),
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     return so
@@ -112,10 +157,14 @@ def _settings_struct(system: str):
 class Oracle:
     """One reference-library instance (struct CRT + settings) via ctypes."""
 
-    def __init__(self, system: str, outw: int, outh: int, fmt: int = FMT_RGB):
+    def __init__(self, system: str, outw: int, outh: int, fmt: int = FMT_RGB,
+                 defines: dict[str, object] | None = None, cfg=None):
+        """`cfg` overrides the SystemConfig used to size the ctypes structs —
+        required when `defines` changes the geometry (e.g. CRT_CHROMA_PATTERN=0
+        makes CRT_HRES 912; pass cfg=SYSTEMS['NTSC_RAINBOW'])."""
         self.system = system
-        self.cfg = SYSTEMS[system]
-        self.lib = ctypes.CDLL(str(build_oracle(system)))
+        self.cfg = cfg if cfg is not None else SYSTEMS[system]
+        self.lib = ctypes.CDLL(str(build_oracle(system, defines)))
         self.CRT = _crt_struct(self.cfg)
         self.SETTINGS = _settings_struct(system)
         self.bpp = 3 if fmt in (FMT_RGB, FMT_BGR) else 4

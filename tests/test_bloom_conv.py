@@ -1,7 +1,7 @@
 """Optional decode modes: beam-energy bloom (CRT_DO_BLOOM) and the
-convolution-EQ builds.  No oracle exists for these (the reference pins them
-via in-file #defines), so the bloom line-width chain is checked against a
-scalar port of crt_core.c:512-526, plus behavioral invariants."""
+convolution-EQ builds — behavioral invariants and a scalar-port check of the
+line-width chain.  Bit-exact parity against patched-define oracle builds
+lives in test_variants_parity.py."""
 
 import numpy as np
 import jax

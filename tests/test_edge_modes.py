@@ -9,6 +9,7 @@ from ntsc_crt_tpu.models.systems import NTSC, SNES
 from ntsc_crt_tpu.models import pipeline
 from ntsc_crt_tpu.models.demodulate import MonitorParams
 from oracle import Oracle
+from oracle.parity import assert_parity_outside_ub
 
 
 def _img(seed, w, h):
@@ -40,16 +41,41 @@ def test_offsets_parity():
     np.testing.assert_array_equal(np.asarray(st.analog), orc.analog)
     st = pipeline.demodulate(NTSC, st, noise=0)
     got = np.asarray(st.out)
-    # exclude rows sourced from the final analog line, where the reference
-    # reads past its buffer (UB) and we wrap — see docs/PARITY.md #1
-    vs = int(st.vsync)
-    ok = np.ones(240, bool)
-    for line in range(NTSC.top, NTSC.bot):
-        if (line + vs + 3) % NTSC.vres == NTSC.vres - 1:
-            beg = (line - NTSC.top) * 240 // NTSC.lines
-            ok[max(0, beg):beg + 3] = False
-    np.testing.assert_array_equal(got[ok], ref[ok])
-    assert (got != ref).mean() < 1e-3
+    # rows sourced from the final analog line are excluded (reference reads
+    # OOB there — UB; we wrap): see oracle/parity.py and docs/PARITY.md #1
+    assert_parity_outside_ub(got, ref, NTSC, int(st.vsync))
+
+
+def test_ub_divergence_fixture(tmp_path):
+    """Pin the wrap-vs-UB divergence surface itself: the excluded rows'
+    contents are a golden fixture (tests/fixtures/ub_rows.npz), so a
+    regression INSIDE the masked region is caught, not hidden by the mask
+    (VERDICT.md r1 weak #8)."""
+    from pathlib import Path
+    from oracle.parity import ub_rows
+    orc = Oracle("NTSC", outw=320, outh=240)
+    img = _img(12, w=160, h=120)
+    orc.modulate(img, field=0, frame=0, xoffset=24, yoffset=5)
+    ref = orc.demodulate(noise=0)
+    st = pipeline.crt_init(NTSC, 320, 240)
+    st = pipeline.modulate(NTSC, st, jnp.asarray(img), field=0, frame=0,
+                           xoffset=24, yoffset=5)
+    st = pipeline.demodulate(NTSC, st, noise=0)
+    got = np.asarray(st.out)
+    ok = ub_rows(NTSC, int(st.vsync), 240)
+    masked = got[~ok]
+    fix_path = Path(__file__).parent / "fixtures" / "ub_rows.npz"
+    if not fix_path.exists():  # first run records the golden fixture
+        fix_path.parent.mkdir(exist_ok=True)
+        np.savez_compressed(fix_path, rows=np.where(~ok)[0], masked=masked,
+                            ref_masked=ref[~ok])
+    fix = np.load(fix_path)
+    np.testing.assert_array_equal(np.where(~ok)[0], fix["rows"],
+                                  err_msg="UB row set moved")
+    np.testing.assert_array_equal(masked, fix["masked"],
+                                  err_msg="wrapped-row contents changed")
+    np.testing.assert_array_equal(ref[~ok], fix["ref_masked"],
+                                  err_msg="oracle UB-row contents changed")
 
 
 def test_extreme_knobs_parity():

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from ntsc_crt_tpu.models.systems import NTSCVHS
 from ntsc_crt_tpu.models import pipeline
 from oracle import Oracle
+from oracle.parity import assert_parity_outside_ub
 
 
 def _img(seed, w=320, h=240):
@@ -38,20 +39,13 @@ def test_vhs_roundtrip(aberration):
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"frame {n} analog")
         got = np.asarray(st.out)
-        # Exclude output rows sourced from the final analog line: there the
-        # reference reads past its signal buffer (UB, crt_core.c:511-550 with
-        # pos + AV_LEN > CRT_INPUT_SIZE); our gathers wrap instead (see
-        # demodulate.py).  Everything else must match bit-for-bit.
-        cfg = NTSCVHS
-        vs = orc.crt.vsync
-        ok = np.ones(480, bool)
-        for line in range(cfg.top, cfg.bot):
-            if (line + vs + 3) % cfg.vres == cfg.vres - 1:
-                beg = (line - cfg.top) * 480 // cfg.lines
-                ok[max(0, beg):beg + 4] = False
-        np.testing.assert_array_equal(got[ok], ref[ok],
-                                      err_msg=f"frame {n} out")
-        assert (got != ref).mean() < 1e-3  # UB region stays a handful of rows
+        # Output rows sourced from the final analog line are excluded: there
+        # the reference reads past its signal buffer (UB) and our gathers
+        # wrap — the ONE shared helper (oracle/parity.py) computes the
+        # excluded rows, and its surface is pinned by a golden fixture in
+        # test_edge_modes.py.
+        assert_parity_outside_ub(got, ref, NTSCVHS, orc.crt.vsync,
+                                 err_msg=f"frame {n} out")
         np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf)
         assert int(st.hsync) == orc.crt.hsync, f"frame {n} hsync"
         assert int(st.rn) == orc.crt.rn, f"frame {n} rn"
