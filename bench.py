@@ -1,29 +1,52 @@
-"""Throughput benchmark: full NTSC encode+decode frames/sec/chip at 640x480.
+"""Throughput benchmark: full encode+decode frames/sec/chip at 640x480.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Driver contract (default, no args): prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"} for the flagship NTSC path.
 Baseline target: 5000 frames/sec/chip (BASELINE.md).
+
+Extended modes:
+    python bench.py --system PV1K         one system
+    python bench.py --all                 every system + batch-1 latency,
+                                          also written to BENCH_FULL.json
+    python bench.py --latency             batch-1 latency only (live/60 Hz)
+Env: BENCH_BATCH (default 256), BENCH_ITERS (default 10).
 """
 
+import argparse
 import json
+import os
 import time
 
 import numpy as np
 
+TARGET_FPS = 5000.0          # BASELINE.json north star
+TARGET_LAT_MS = 16.7         # 60 Hz live loop (crt_main.c:513-516)
 
-def main():
+
+def _inputs(system, cfg, batch, w=320, h=240):
+    rng = np.random.RandomState(0)
+    if cfg.kind == "nes":
+        img = rng.randint(0, 512, (batch, 240, 256), np.uint16)
+    else:
+        img = rng.randint(0, 256, (batch, h, w, 3), np.uint8)
+    return img
+
+
+def bench_system(system: str, batch: int, iters: int, outw=640, outh=480):
+    """Steady-state encode+decode throughput for one system preset."""
     import jax
     import jax.numpy as jnp
-    from ntsc_crt_tpu.models.systems import NTSC
+    from ntsc_crt_tpu.models.systems import SYSTEMS
     from ntsc_crt_tpu.parallel import mesh as pmesh
 
-    batch = int(__import__("os").environ.get("BENCH_BATCH", "256"))
-    iters = int(__import__("os").environ.get("BENCH_ITERS", "10"))
+    if system not in SYSTEMS:
+        raise SystemExit(
+            f"unknown system {system!r}; choose from {sorted(SYSTEMS)}")
+    cfg = SYSTEMS[system]
+    states = pmesh.init_batch(cfg, batch, outw, outh)
+    step = pmesh.make_batched_step(cfg, noise=12)
 
-    states = pmesh.init_batch(NTSC, batch, 640, 480)
-    step = pmesh.make_batched_step(NTSC, noise=12)
-
-    rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.randint(0, 256, (batch, 240, 320, 3), dtype=np.uint8))
+    imgs = jnp.asarray(_inputs(system, cfg, batch))
     fields = jnp.zeros((batch,), jnp.int32)
     frames = jnp.zeros((batch,), jnp.int32)
     dcos = jnp.zeros((batch,), jnp.int32)
@@ -40,13 +63,85 @@ def main():
         states = step(states, imgs, fields, frames, dcos)
     checksum(states).item()
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    fps = batch * iters / dt
+
+def bench_latency(system: str = "NTSC", outw=832, outh=624, iters=60):
+    """Batch-1 per-frame latency — the live/60 Hz use case
+    (crt_main.c:284-557 runs an 832x624 window at 60 Hz)."""
+    import jax
+    import jax.numpy as jnp
+    from ntsc_crt_tpu.models.systems import SYSTEMS
+    from ntsc_crt_tpu.models import pipeline
+
+    cfg = SYSTEMS[system]
+    state = pipeline.crt_init(cfg, outw, outh)
+
+    def fn(state, img, field, frame):
+        return pipeline.step(cfg, state, img, field=field, frame=frame,
+                             noise=12)
+
+    step = jax.jit(fn, donate_argnums=(0,))
+    img = jnp.asarray(_inputs(system, cfg, 1)[0])
+    checksum = jax.jit(lambda s: s.out.astype(jnp.int32).sum())
+
+    state = step(state, img, jnp.int32(0), jnp.int32(0))
+    checksum(state).item()
+
+    t0 = time.perf_counter()
+    f = 0
+    for _ in range(iters):
+        state = step(state, img, jnp.int32(f), jnp.int32(0))
+        f ^= 1
+    checksum(state).item()
+    dt = time.perf_counter() - t0
+    return dt / iters * 1e3  # ms/frame
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--system", default="NTSC")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--latency", action="store_true")
+    args = ap.parse_args()
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    if args.all:
+        systems = ["NTSC", "NTSCVHS", "SNES", "TEMPLATE", "NESRGB", "NES",
+                   "PV1K"]
+        results = []
+        for s in systems:
+            fps = bench_system(s, batch, iters)
+            rec = {"metric": f"{s.lower()}_encode_decode_640x480",
+                   "value": round(fps, 1), "unit": "frames/sec/chip",
+                   "vs_baseline": round(fps / TARGET_FPS, 3)}
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+        lat = bench_latency()
+        rec = {"metric": "ntsc_batch1_latency_832x624",
+               "value": round(lat, 3), "unit": "ms/frame",
+               "vs_baseline": round(TARGET_LAT_MS / lat, 3)}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+        with open("BENCH_FULL.json", "w") as f:
+            json.dump(results, f, indent=1)
+        return
+
+    if args.latency:
+        lat = bench_latency()
+        print(json.dumps({"metric": "ntsc_batch1_latency_832x624",
+                          "value": round(lat, 3), "unit": "ms/frame",
+                          "vs_baseline": round(TARGET_LAT_MS / lat, 3)}))
+        return
+
+    fps = bench_system(args.system, batch, iters)
     print(json.dumps({
-        "metric": "ntsc_encode_decode_640x480",
+        "metric": f"{args.system.lower()}_encode_decode_640x480",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / 5000.0, 3),
+        "vs_baseline": round(fps / TARGET_FPS, 3),
     }))
 
 

@@ -2,11 +2,19 @@
 (crt_main.c:37-283) and `ntsc_video` batch converter
 (extra/video_convert.c:149-281).
 
-    ntsc -m|o|f|p|r|h|a outwidth outheight noise artifact_hue infile outfile
+    ntsc [-s SYSTEM] [--fmt FMT] \\
+         -m|o|f|p|r|h|a outwidth outheight noise artifact_hue infile outfile
     ntsc-video [-s system] [-a] [-l scanlines] [-p] nframes framedir outdir
 
 The image-convert driver accumulates 4 frames with blend=1 scanlines=1,
 toggling field/frame parity for interlace (crt_main.c:235-255).
+
+-s selects the system preset (the reference selects it at compile time via
+CMake CRT_SYSTEM, CMakeLists.txt:12); NES is rejected like the reference's
+"no NES command line version" #error (crt_main.c:25-27).  --fmt selects the
+output pixel format (rgb/bgr/argb/rgba/abgr/bgra, crt_core.c:613-656); raw
+format bytes are written verbatim when the outfile ends in .raw, otherwise
+the image container gets the canonical RGB view.
 """
 
 from __future__ import annotations
@@ -31,7 +39,23 @@ def _build_step(cfg, outw, outh, noise, mon, *, as_color=1, raw=False):
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv) if argv is not None else sys.argv[1:]
+
+    system, fmt_name = "NTSC", "rgb"
+    for opt in ("-s", "--fmt"):
+        if opt in argv:
+            i = argv.index(opt)
+            val = argv[i + 1]
+            del argv[i:i + 2]
+            if opt == "-s":
+                system = val.upper()
+            else:
+                fmt_name = val.lower()
+    if system == "NES":
+        # crt_main.c:25-27: "NES mode does not have a command line version"
+        print("error: NES mode does not have a command line version")
+        return 1
+
     if len(argv) < 7 or "h" in argv[0]:
         print(__doc__)
         print("sample: ntsc -op 640 480 24 0 in.ppm out.ppm")
@@ -57,15 +81,16 @@ def main(argv=None):
             return 1
 
     import jax.numpy as jnp
-    from ntsc_crt_tpu.models.systems import NTSC
+    from ntsc_crt_tpu.models.systems import SYSTEMS
     from ntsc_crt_tpu.models import pipeline, video
     from ntsc_crt_tpu.models.demodulate import MonitorParams
-    from ntsc_crt_tpu.utils import imageio
+    from ntsc_crt_tpu.utils import imageio, formats
 
     img = imageio.read_image(infile)
     print(f"loaded {img.shape[1]} {img.shape[0]}")
 
-    cfg = NTSC
+    cfg = SYSTEMS[system]
+    out_fmt = formats.by_name(fmt_name)
     mon = MonitorParams(blend=np.int32(1), scanlines=np.int32(1))
     state = pipeline.crt_init(cfg, outw, outh)
     step = _build_step(cfg, outw, outh, np.int32(noise), mon,
@@ -77,7 +102,7 @@ def main(argv=None):
     for it in range(4):  # accumulate 4 frames (crt_main.c:241-255)
         state = step(state, imgj, np.int32(field), np.int32(frame),
                      np.int32(0), np.int32(hue))
-        if not progressive:
+        if not (progressive or cfg.progressive):
             field ^= 1
             state = step(state, imgj, np.int32(field), np.int32(frame),
                          np.int32(0), np.int32(hue))
@@ -88,7 +113,12 @@ def main(argv=None):
         out = np.asarray(video.analog_dump(cfg, state.analog))
     else:
         out = np.asarray(state.out)
-    imageio.write_image(outfile, out)
+    if str(outfile).endswith(".raw"):
+        # raw bytes in the selected pixel format (crt_core.c:613-656)
+        with open(outfile, "wb") as f:
+            f.write(formats.from_rgb(out, out_fmt).tobytes())
+    else:
+        imageio.write_image(outfile, out)
     print("done")
     return 0
 

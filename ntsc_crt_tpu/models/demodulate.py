@@ -38,6 +38,7 @@ from jax import lax
 from ntsc_crt_tpu.models.systems import SystemConfig
 from ntsc_crt_tpu.ops import fastpath, filters, lcg
 from ntsc_crt_tpu.ops.fixedpoint import cdiv, i32, posmod, crem, sincos14
+from ntsc_crt_tpu.parallel import spatial
 
 
 class MonitorParams(NamedTuple):
@@ -181,7 +182,7 @@ def _find_vsync(cfg: SystemConfig, inp2d, vsync):
 
 
 def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
-               saturation, outh, v_fac, field_px):
+               saturation, outh, v_fac, field_px, do_hsync: bool = True):
     """Per-line sequential pass: hsync chase, ccf EMA, decode-wave derivation
     (crt_core.c:409-536).  Batched: inp_flat (B, N) int8, carries (B, ...).
 
@@ -221,35 +222,42 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
     rows2 = jnp.concatenate([rolled[:, :L],
                              rolled[:, 1:, :PAD]], axis=2)  # (B, L, H+PAD)
 
-    # --- hsync transition table (crt_core.c:434-450, all h at once) --------
-    # window at candidate h starts at column h + sync_beg - W; running sum
-    # over 16 samples, first <= thresh wins; fall-through keeps i == W
-    thresh = cfg.hsync_thresh * cfg.sync_level
-    c0 = cfg.sync_beg - W
-    # int16 running sums: |sum of <= 16 int8 samples| < 2^12
-    run = jnp.zeros((B, L, H), jnp.int16)
-    ib = jnp.full((B, L, H), W, jnp.int8)
-    found = jnp.zeros((B, L, H), bool)
-    for j in range(2 * W):
-        run = run + rows2[:, :, c0 + j:c0 + j + H].astype(jnp.int16)
-        hit = (run <= thresh) & ~found
-        ib = jnp.where(hit, jnp.int8(j - W), ib)
-        found = found | hit
-    # (XLA fuses this whole chain into one pass over the padded rows.)
-    ib = lax.optimization_barrier(ib)
+    if do_hsync:
+        # --- hsync transition table (crt_core.c:434-450, all h at once) ----
+        # window at candidate h starts at column h + sync_beg - W; running
+        # sum over 16 samples, first <= thresh wins; fall-through keeps i==W
+        thresh = cfg.hsync_thresh * cfg.sync_level
+        c0 = cfg.sync_beg - W
+        # int16 running sums: |sum of <= 16 int8 samples| < 2^12
+        run = jnp.zeros((B, L, H), jnp.int16)
+        ib = jnp.full((B, L, H), W, jnp.int8)
+        found = jnp.zeros((B, L, H), bool)
+        for j in range(2 * W):
+            run = run + rows2[:, :, c0 + j:c0 + j + H].astype(jnp.int16)
+            hit = (run <= thresh) & ~found
+            ib = jnp.where(hit, jnp.int8(j - W), ib)
+            found = found | hit
+        # (XLA fuses this whole chain into one pass over the padded rows.)
+        ib = lax.optimization_barrier(ib)
 
-    # --- serial hsync chain: one (B,) table lookup per line ----------------
-    def hstep(hsync, xs):
-        ib_l, act = xs                                    # (B, H) int8, (B,)
-        d = jnp.take_along_axis(ib_l, hsync[:, None], axis=1)[:, 0]
-        nxt = posmod(d.astype(jnp.int32) + hsync, H)
-        hsync = jnp.where(act, nxt, hsync)
-        return hsync, hsync
+        # --- serial hsync chain: one (B,) table lookup per line ------------
+        def hstep(hsync, xs):
+            ib_l, act = xs                                # (B, H) int8, (B,)
+            d = jnp.take_along_axis(ib_l, hsync[:, None], axis=1)[:, 0]
+            nxt = posmod(d.astype(jnp.int32) + hsync, H)
+            hsync = jnp.where(act, nxt, hsync)
+            return hsync, hsync
 
-    hsync_f, hseq = lax.scan(
-        hstep, i32(hsync0),
-        (jnp.swapaxes(ib, 0, 1), jnp.swapaxes(active_l, 0, 1)), unroll=16)
-    hsync_l = lax.optimization_barrier(jnp.swapaxes(hseq, 0, 1))  # (B, L)
+        hsync_f, hseq = lax.scan(
+            hstep, i32(hsync0),
+            (jnp.swapaxes(ib, 0, 1), jnp.swapaxes(active_l, 0, 1)), unroll=16)
+        hsync_l = lax.optimization_barrier(jnp.swapaxes(hseq, 0, 1))  # (B, L)
+    else:
+        # CRT_DO_HSYNC=0 (crt_core.c:446-448): the search result is
+        # discarded — every processed line pins v->hsync = 0
+        ever = jnp.cumsum(active_l.astype(jnp.int32), axis=1) > 0
+        hsync_l = jnp.where(ever, 0, i32(hsync0)[:, None])
+        hsync_f = jnp.where(jnp.any(active_l, axis=1), 0, i32(hsync0))
 
     xpos_l = posmod(cfg.av_beg + hsync_l - 3, H)          # xnudge=-3
     ypos_l = posmod(jnp.asarray(lines, jnp.int32)[None, :]
@@ -336,6 +344,8 @@ def demodulate_core(
     v_fac: int = 0,
     eq_mode: str = "threeband",
     do_bloom: bool = False,
+    do_vsync: bool = True,
+    do_hsync: bool = True,
 ) -> tuple[jax.Array, dict]:
     """One decode pass.  Returns (rgb uint8 (B,outh,outw,3), new state dict
     with keys hsync/vsync/ccf/rn/randstate/inp)."""
@@ -368,7 +378,15 @@ def demodulate_core(
     # anyway).
     inp_flat = lax.optimization_barrier(inp_flat)
     inp2d = inp_flat.reshape(B, V, H)
-    vsync_new, field = _find_vsync(cfg, inp2d, _b(vsync, B))
+    if do_vsync:
+        vsync_new, field = _find_vsync(cfg, inp2d, _b(vsync, B))
+    else:
+        # CRT_DO_VSYNC=0 (crt_core.c:323-341): the field parity is recovered
+        # from the CLEAN signal (pre-noise) and the vsync position is pinned
+        # to -3 instead of searched
+        _, field = _find_vsync(cfg, analog_flat.reshape(B, V, H),
+                               _b(vsync, B))
+        vsync_new = jnp.full((B,), -3, jnp.int32)
 
     ratio = ((outh << 16) // cfg.lines + 32768) >> 16    # static
     field_px = field * (ratio // 2)                      # (B,)
@@ -376,7 +394,7 @@ def demodulate_core(
     vsync_new, field_px = lax.optimization_barrier((vsync_new, field_px))
     hsync_new, ccf_new, outs = _line_scan(
         cfg, inp_flat, _b(hsync, B), jnp.asarray(ccf, jnp.int32), vsync_new,
-        hue_sn, hue_cs, saturation, outh, v_fac, field_px)
+        hue_sn, hue_cs, saturation, outh, v_fac, field_px, do_hsync=do_hsync)
     outs = lax.optimization_barrier(outs)
 
     if CC == 4:
@@ -403,8 +421,10 @@ def demodulate_core(
                      + jnp.arange(L + 1, dtype=jnp.int32)[None, :] + 3, V)
     rolled = fastpath.select_rows_batched(inp2d, row_idx)  # (B, L+1, H)
     rows_ext = jnp.concatenate([rolled[:, :L], rolled[:, 1:]], axis=2)
+    rows_ext = spatial.shard_lines(rows_ext, 1, tag="rows_ext")
     sig = fastpath.shift_rows(rows_ext.reshape(B * L, 2 * H),
                               xpos_l.reshape(B * L), AV).reshape(B, L, AV)
+    sig = spatial.shard_lines(sig, 1, tag="sig")
 
     if CC == 4:
         wv_i = fastpath.tile_period(wave_l, AV, 0)       # (B, L, AV)
@@ -447,16 +467,22 @@ def demodulate_core(
                  + Lidx[..., None] + (3 if CC == 4 else 0), CC))
 
     # --- fused fast path: EQ + scan conversion in one Pallas kernel --------
-    fused_ok = (not do_bloom and eq_mode == "threeband" and CC == 4
+    fused_ok = (not do_bloom and eq_mode == "threeband"
                 and filters._use_pallas())
     if fused_ok:
         from ntsc_crt_tpu.ops.pallas import decode_fused as _df
         eqY, eqI, eqQ = _eq_coefs(cfg)
         ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
         brr = jnp.broadcast_to(bright[:, None], (B, L))
+        if CC == 4:
+            # Q wave is the I table rotated by 3 (crt_core.c:541-542)
+            wvI_l, wvQ_l = wave_l, jnp.roll(wave_l, -3, axis=-1)
+        else:
+            wvI_l, wvQ_l = waveI_l, waveQ_l
         r8, g8, b8 = _df.decode_fused_rows(
             sig.astype(jnp.int8).reshape(B * L, AV),
-            wave_l.reshape(B * L, CC), brr.reshape(B * L), ctr.reshape(B * L),
+            wvI_l.reshape(B * L, CC), wvQ_l.reshape(B * L, CC),
+            brr.reshape(B * L), ctr.reshape(B * L),
             outw=outw, coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)))
         rgb = jnp.stack([r8, g8, b8], axis=-1).reshape(B, L, outw, 3)
         out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
@@ -471,6 +497,7 @@ def demodulate_core(
     q_in = (sig * wv_q) >> 9
 
     stacked = jnp.stack([y_in, i_in, q_in], axis=2)      # (B, L, 3, AV)
+    stacked = spatial.shard_lines(stacked, 1, tag="yiq")
     if eq_mode == "threeband":
         eqY, eqI, eqQ = _eq_coefs(cfg)
         mk = lambda *v: jnp.asarray(v, jnp.int32)[None, None, :]
@@ -537,9 +564,11 @@ def demodulate_core(
         b = (((yv - 4530 * iv + 7021 * qv) >> 12) * contrast) >> 8
         rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255)  # (B, L, outw, 3)
 
+    rgb = spatial.shard_lines(rgb, 1, tag="rgb")
     out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
                           _b(mon.blend, B), _b(mon.scanlines, B), outh,
                           valid=valid, field_px=field_px, v_fac=v_fac)
+    out_new = spatial.shard_lines(out_new, 1, tag="out")
 
     state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new, rn=rn_new,
                  randstate=randstate, inp=inp2d)

@@ -41,6 +41,7 @@ from ntsc_crt_tpu.models.systems import (
 )
 from ntsc_crt_tpu.ops import fastpath, filters
 from ntsc_crt_tpu.ops.fixedpoint import cdiv, crem, i32, posmod, sincos14
+from ntsc_crt_tpu.parallel import spatial
 
 
 def _b(x, B):
@@ -192,10 +193,11 @@ def _encode_active_fused(cfg, fy, fi, fq, modI_rows, modQ_rows, gain, base,
                          xo: int):
     """Fused IIR+carrier+IRE kernel dispatch (ops/pallas/encode_fused.py).
     fy/fi/fq: int32 (B, desth, destw) pre-bandlimit YIQ; modI/Q_rows:
-    int32 (B, desth, 4) per-row carrier tables (phase sign premultiplied);
-    gain/base: int32 (B,).  Returns int8 (B, desth, destw) IRE."""
+    int32 (B, desth, cc) per-row carrier tables (phase sign premultiplied,
+    cc = 4 or 5); gain/base: int32 (B,).  Returns int8 (B, desth, destw)."""
     from ntsc_crt_tpu.ops.pallas import encode_fused as _ef
     B, desth, destw = fy.shape
+    cc = modI_rows.shape[-1]
     if cfg.do_bandlimiting:
         coefs = (filters.init_iir(cfg.l_freq, cfg.y_freq),
                  filters.init_iir(cfg.l_freq, cfg.i_freq),
@@ -207,10 +209,10 @@ def _encode_active_fused(cfg, fy, fi, fq, modI_rows, modQ_rows, gain, base,
         fy.reshape(R, destw).astype(jnp.int16),
         fi.reshape(R, destw).astype(jnp.int16),
         fq.reshape(R, destw).astype(jnp.int16),
-        modI_rows.reshape(R, 4), modQ_rows.reshape(R, 4),
+        modI_rows.reshape(R, cc), modQ_rows.reshape(R, cc),
         jnp.broadcast_to(gain[:, None], (B, desth)).reshape(R),
         jnp.broadcast_to(base[:, None], (B, desth)).reshape(R),
-        coefs=coefs, xo_mod=xo % 4)
+        coefs=coefs, xo_mod=xo % cc)
     return out.reshape(B, desth, destw)
 
 
@@ -331,6 +333,7 @@ def modulate_rgb(
     sy = jnp.minimum(sy, h - 1)
     pix = _resample(cfg, img_u8, sy, destw)
     fy, fi, fq = _rgb_to_yiq(pix)
+    fy = spatial.shard_lines(fy, 1, tag="enc_y")
 
     gain = cdiv(cfg.white_level * white_point, 100)
     base = cfg.black_level + black_point
@@ -350,6 +353,7 @@ def modulate_rgb(
         fi = (fi * ph[:, None, None] * mI) >> 4          # crt_ntsc.c:316
         fq = (fq * ph[:, None, None] * mQ) >> 4
         ire = _ire_scale(cfg, fy, fi, fq, black_point, white_point)
+    ire = spatial.shard_lines(ire, 1, tag="enc_ire")
     analog = _store_active(analog, ire, xo, yo)
     return analog, ccf
 
@@ -485,8 +489,9 @@ def modulate_vper(
     sy = jnp.minimum((y_idx * h) // desth + field_offset, h - 1)
     pix = _resample(cfg, img_u8, sy, destw)
     fy, fi, fq = _rgb_to_yiq(pix)
+    fy = spatial.shard_lines(fy, 1, tag="enc_y")
 
-    if filters._use_pallas() and CC == 4:
+    if filters._use_pallas():
         # per-row carrier tables selected by the line's vertical phase class
         phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
         mi_rows = jnp.take(ccmodI, phr, axis=1)          # (B, desth, CC)
@@ -515,6 +520,7 @@ def modulate_vper(
     fi = (fi * mI) >> 4                                  # crt_snes.c:310-311
     fq = (fq * mQ) >> 4
     ire = _ire_scale(cfg, fy, fi, fq, black_point, white_point)
+    ire = spatial.shard_lines(ire, 1, tag="enc_ire")
     analog = _store_active(analog, ire, xo, yo)
     return analog, ccf
 

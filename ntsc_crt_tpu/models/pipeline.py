@@ -130,16 +130,20 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
 def demodulate(cfg: SystemConfig, state: CRTState, noise=0,
                mon: Optional[MonitorParams] = None, *,
                v_fac: int = 0, eq_mode: str = "threeband",
-               do_bloom: bool = False) -> CRTState:
+               do_bloom: bool = False,
+               do_vsync: bool = True, do_hsync: bool = True) -> CRTState:
     """Decode the analog buffer into the output image (crt_demodulate).
     eq_mode: "threeband" (default) or "conv7"/"conv6"/"conv5"/"conv4" for
-    the reference's USE_CONVOLUTION filter builds."""
+    the reference's USE_CONVOLUTION filter builds.  do_vsync/do_hsync=False
+    reproduce the CRT_DO_VSYNC/CRT_DO_HSYNC=0 builds (fixed sync positions,
+    crt_core.h:71-72)."""
     mon = mon or MonitorParams()
     state, _, batched = _lift(state, None)
     out, new = _dem.demodulate_core(
         cfg, state.analog, state.out, state.hsync, state.vsync, state.ccf,
         state.rn, noise, mon, randstate=state.randstate, v_fac=v_fac,
-        eq_mode=eq_mode, do_bloom=do_bloom)
+        eq_mode=eq_mode, do_bloom=do_bloom,
+        do_vsync=do_vsync, do_hsync=do_hsync)
     randstate = new["randstate"]
     if randstate is None:
         randstate = state.randstate

@@ -34,8 +34,13 @@ from jax import lax
 
 def _use_pallas() -> bool:
     """Route the filter recurrences through the Pallas TPU kernels unless
-    running on CPU (tests) or explicitly disabled."""
+    running on CPU (tests), explicitly disabled, or tracing under spatial
+    line-sharding (the manual-layout kernels cannot be GSPMD-partitioned —
+    the portable XLA formulation shards instead, parallel/spatial.py)."""
     if os.environ.get("NTSC_CRT_FORCE_SCAN"):
+        return False
+    from ntsc_crt_tpu.parallel import spatial
+    if spatial.active():
         return False
     try:
         return jax.devices()[0].platform == "tpu"

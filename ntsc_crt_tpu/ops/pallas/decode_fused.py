@@ -13,8 +13,11 @@ Replaces three HBM round trips (stacked YIQ inputs, EQ outputs, lerp inputs —
 
 The carrier wave factors have period cc_samples along x, so with K a
 multiple of the period the in-chunk phase is static — the (i & 3) / (i+3 & 3)
-indexing (crt_core.c:541-542) costs nothing.  4-sample systems only; the
-5-sample (PV1K) and bloom paths use the unfused stages.
+indexing (crt_core.c:541-542) costs nothing.  The caller passes the I and Q
+wave tables separately (for 4-sample systems Q is the I table rotated by 3,
+crt_core.c:541-542; 5-sample systems have distinct tables,
+crt_core.c:546-548), so 4- and 5-sample systems share the kernel.  The bloom
+path uses the unfused stages.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ from ntsc_crt_tpu.ops.fastpath import lerp_resample_weights
 
 LANE = 128
 SUB = 8   # full-VPU tiles; VMEM fits via the three uint8 output planes
-K = 32  # serial unroll; multiple of the 4-sample chroma period
+K = 40  # serial unroll; multiple of both the 4- and 5-sample chroma periods
 
 
 def _eq_chain(state, sx, lf, hf, g0, g1, g2):
@@ -51,11 +54,11 @@ def _eq_chain(state, sx, lf, hf, g0, g1, g2):
     return (fL0, fL1, fL2, fL3, fH0, fH1, fH2, fH3, sx, h0, h1), out
 
 
-def _make_kernel(T, outw, coefs, smap):
+def _make_kernel(T, outw, coefs, smap, cc):
     cy, ci, cq = coefs  # per-channel (lf, hf, g0, g1, g2) python ints
 
-    def kernel(sig_ref, wv_ref, br_ref, ct_ref, r_ref, g_ref, b_ref,
-               oy_s, oi_s, oq_s):
+    def kernel(sig_ref, wvi_ref, wvq_ref, br_ref, ct_ref, r_ref, g_ref,
+               b_ref, oy_s, oi_s, oq_s):
         bright = br_ref[0]
         zero = jnp.zeros_like(bright)
 
@@ -65,9 +68,9 @@ def _make_kernel(T, outw, coefs, smap):
             oys, ois, oqs = [], [], []
             for j in range(K):
                 sx = raw[j].astype(jnp.int32)
-                # wave phase is static within the chunk (K % 4 == 0)
-                wv_i = wv_ref[j % 4]
-                wv_q = wv_ref[(j + 3) % 4]
+                # wave phase is static within the chunk (K % cc == 0)
+                wv_i = wvi_ref[j % cc]
+                wv_q = wvq_ref[j % cc]
                 sy, oy = _eq_chain(sy, sx + bright, *cy)
                 si, oi = _eq_chain(si, (sx * wv_i) >> 9, *ci)
                 sq, oq = _eq_chain(sq, (sx * wv_q) >> 9, *cq)
@@ -99,12 +102,14 @@ def _make_kernel(T, outw, coefs, smap):
 
 @functools.partial(jax.jit,
                    static_argnames=("outw", "coefs", "interpret"))
-def decode_fused_rows(sig, wave, bright, contrast, *, outw: int,
+def decode_fused_rows(sig, waveI, waveQ, bright, contrast, *, outw: int,
                       coefs, interpret: bool = False):
-    """sig: int8 (R, T); wave: int32 (R, 4); bright/contrast: int32 (R,).
-    coefs: ((lf,hf,g0,g1,g2) x 3) python ints.  Returns clamped uint8
-    planes (r, g, b), each (R, outw)."""
+    """sig: int8 (R, T); waveI/waveQ: int32 (R, cc) with cc = 4 or 5;
+    bright/contrast: int32 (R,).  coefs: ((lf,hf,g0,g1,g2) x 3) python ints.
+    Returns clamped uint8 planes (r, g, b), each (R, outw)."""
     R, T = sig.shape
+    cc = waveI.shape[-1]
+    assert K % cc == 0, (K, cc)
     Tp = -(-T // K) * K
     s, L, Rw = lerp_resample_weights(T, outw)
     smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
@@ -120,40 +125,34 @@ def decode_fused_rows(sig, wave, bright, contrast, *, outw: int,
         xp = jnp.zeros((Rp, n), jnp.int32).at[:R].set(x.reshape(R, n))
         return xp.T.reshape(n, RB, SUB, LANE).swapaxes(0, 1)
 
-    wv = vec(wave, 4)
+    wvi = vec(waveI, cc)
+    wvq = vec(waveQ, cc)
     br = vec(bright, 1)
     ct = vec(contrast, 1)
 
-    kern = _make_kernel(Tp, outw, coefs, smap)
+    kern = _make_kernel(Tp, outw, coefs, smap, cc)
 
     def body(*refs):
-        sig_r, wv_r, br_r, ct_r, r_r, g_r, b_r, oys, ois, oqs = refs
-        kern(sig_r.at[0], wv_r.at[0], br_r.at[0], ct_r.at[0],
+        sig_r, wvi_r, wvq_r, br_r, ct_r, r_r, g_r, b_r, oys, ois, oqs = refs
+        kern(sig_r.at[0], wvi_r.at[0], wvq_r.at[0], br_r.at[0], ct_r.at[0],
              r_r.at[0], g_r.at[0], b_r.at[0], oys, ois, oqs)
 
     ospec = pl.BlockSpec((1, outw, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
+    spec = lambda n: pl.BlockSpec((1, n, SUB, LANE), lambda i: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
     r8, g8, b8 = pl.pallas_call(
         body,
         grid=(RB,),
-        in_specs=[
-            pl.BlockSpec((1, Tp, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec(Tp), spec(cc), spec(cc), spec(1), spec(1)],
         out_specs=(ospec, ospec, ospec),
         out_shape=tuple(jax.ShapeDtypeStruct((RB, outw, SUB, LANE), jnp.uint8)
                         for _ in range(3)),
         scratch_shapes=[pltpu.VMEM((Tp + 1, SUB, LANE), jnp.int32)] * 3,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=36 * 1024 * 1024),  # PV1K: 1520-wide scratch
         interpret=interpret,
-    )(sigT, wv, br, ct)
+    )(sigT, wvi, wvq, br, ct)
 
     def back(x):
         return x.swapaxes(0, 1).reshape(outw, Rp).T[:R]

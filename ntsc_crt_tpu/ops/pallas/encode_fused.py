@@ -24,10 +24,10 @@ from ntsc_crt_tpu.ops.fixedpoint import EXP_P
 
 LANE = 128
 SUB = 8
-K = 32  # serial unroll; multiple of the 4-sample chroma period
+K = 40  # serial unroll; multiple of both the 4- and 5-sample chroma periods
 
 
-def _make_kernel(T, coefs, xo_mod):
+def _make_kernel(T, coefs, xo_mod, cc):
     def kernel(fy_ref, fi_ref, fq_ref, mi_ref, mq_ref, gain_ref, base_ref,
                out_ref):
         gain = gain_ref[0]
@@ -52,7 +52,7 @@ def _make_kernel(T, coefs, xo_mod):
                     vy, vi, vq = hy, hi, hq
                 else:
                     vy, vi, vq = sy, si, sq                # CRT_DO_BANDLIMITING 0
-                ph = (j + xo_mod) % 4                      # static in-chunk
+                ph = (j + xo_mod) % cc                     # static in-chunk
                 vi = (vi * mi_ref[ph]) >> 4                # crt_ntsc.c:316-317
                 vq = (vq * mq_ref[ph]) >> 4
                 ire = base + (((vy + vi + vq) * gain) >> 10)
@@ -69,11 +69,13 @@ def _make_kernel(T, coefs, xo_mod):
                    static_argnames=("coefs", "xo_mod", "interpret"))
 def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
                       coefs, xo_mod: int, interpret: bool = False):
-    """fy/fi/fq: int16 (R, T) YIQ; modI/modQ: int32 (R, 4) carrier tables
-    (premultiplied by any phase sign); gain/base: int32 (R,).
-    coefs: (cY, cI, cQ) python ints or None.  xo_mod: static (xo % 4).
-    Returns clamped IRE int8 (R, T)."""
+    """fy/fi/fq: int16 (R, T) YIQ; modI/modQ: int32 (R, cc) carrier tables
+    (premultiplied by any phase sign, cc = 4 or 5 chroma samples); gain/base:
+    int32 (R,).  coefs: (cY, cI, cQ) python ints or None.  xo_mod: static
+    (xo % cc).  Returns clamped IRE int8 (R, T)."""
     R, T = fy.shape
+    cc = modI.shape[-1]
+    assert K % cc == 0, (K, cc)
     Tp = -(-T // K) * K
     rows_blk = SUB * LANE
     Rp = -(-R // rows_blk) * rows_blk
@@ -89,12 +91,12 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
                 Tp, jnp.int16)
     fqt = tiles(jnp.pad(jnp.asarray(fq, jnp.int16), ((0, 0), (0, Tp - T))),
                 Tp, jnp.int16)
-    mi = tiles(modI, 4, jnp.int32)
-    mq = tiles(modQ, 4, jnp.int32)
+    mi = tiles(modI, cc, jnp.int32)
+    mq = tiles(modQ, cc, jnp.int32)
     g = tiles(gain, 1, jnp.int32)
     b = tiles(base, 1, jnp.int32)
 
-    kern = _make_kernel(Tp, coefs, xo_mod)
+    kern = _make_kernel(Tp, coefs, xo_mod, cc)
 
     def body(*refs):
         f1, f2, f3, m1, m2, gg, bb, out = refs
@@ -106,9 +108,11 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
     out = pl.pallas_call(
         body,
         grid=(RB,),
-        in_specs=[spec(Tp)] * 3 + [spec(4)] * 2 + [spec(1)] * 2,
+        in_specs=[spec(Tp)] * 3 + [spec(cc)] * 2 + [spec(1)] * 2,
         out_specs=spec(Tp),
         out_shape=jax.ShapeDtypeStruct((RB, Tp, SUB, LANE), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024),  # PV1K rows are 1520 wide
         interpret=interpret,
     )(fyt, fit, fqt, mi, mq, g, b)
 

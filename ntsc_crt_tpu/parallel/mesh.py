@@ -88,23 +88,28 @@ def make_sharded_step(cfg: SystemConfig, mesh: Mesh, *, noise=0,
     """Batched step with explicit data-axis sharding over the mesh.
 
     Frames (and their states) are sharded over `data`; each device runs its
-    sub-batch locally.  With a non-trivial `spatial` axis, XLA additionally
-    splits the per-frame line-parallel phases (the batch x line dims of the
-    filter/conv/matmul stages) and inserts any ICI collectives itself.
+    sub-batch locally.  With a non-trivial `spatial` axis, the compute cores
+    additionally constrain the LINE dimension of their heavy per-line stages
+    onto it (parallel/spatial.py): GSPMD partitions the scanline-parallel
+    work and inserts the collectives at the serial seams (sync scans) itself.
     """
+    from ntsc_crt_tpu.parallel import spatial
+
     mon = mon or MonitorParams()
 
     def batch_spec(x):
         return NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
 
     def sharded(states, imgs, fields, frames, dcos):
-        states = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)),
-            states)
-        imgs = jax.lax.with_sharding_constraint(imgs, batch_spec(imgs))
-        out = pipeline.step(cfg, states, imgs, field=fields, frame=frames,
-                            noise=noise, mon=mon, dot_crawl_offset=dcos)
-        return jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)), out)
+        with spatial.line_sharding(mesh):  # trace-time: tags line dims
+            states = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)),
+                states)
+            imgs = jax.lax.with_sharding_constraint(imgs, batch_spec(imgs))
+            out = pipeline.step(cfg, states, imgs, field=fields, frame=frames,
+                                noise=noise, mon=mon, dot_crawl_offset=dcos)
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_spec(x)),
+                out)
 
     return jax.jit(sharded, donate_argnums=(0,))

@@ -106,6 +106,93 @@ def test_cli_flag_forwarding(tmp_path, flags, hue, kw):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("fmt_name", ["bgra", "argb", "abgr", "rgba", "bgr"])
+def test_output_format_bytes_vs_oracle(fmt_name):
+    """Non-RGB output layouts byte-for-byte vs the oracle decoding straight
+    into that format (crt_core.c:613-656), including the blend readback
+    swizzle (crt_core.c:584-606)."""
+    import jax.numpy as jnp
+    from ntsc_crt_tpu.models.systems import NTSC
+    from ntsc_crt_tpu.models import pipeline
+    from ntsc_crt_tpu.models.demodulate import MonitorParams
+    from oracle import Oracle
+    from oracle.oracle import FMT_RGB
+
+    fmt = formats.by_name(fmt_name)
+    # outh >= CRT_LINES keeps the blend row-placement in its exact regime
+    # (see demodulate._place_rows docstring)
+    orc = Oracle("NTSC", outw=320, outh=240, fmt=fmt)
+    orc.crt.blend = 1
+    img = _img(7, w=96, h=72)
+    mon = MonitorParams(blend=np.int32(1))
+    st = pipeline.crt_init(NTSC, 320, 240)
+    for n in range(2):  # two frames so blend reads back prior output bytes
+        orc.modulate(img, field=0, frame=0, fmt=FMT_RGB)
+        raw_ref = orc.demodulate(noise=0)
+        st = pipeline.step(NTSC, st, jnp.asarray(img), field=0, frame=0,
+                           noise=0, mon=mon)
+        got = formats.from_rgb(np.asarray(st.out), fmt)
+        np.testing.assert_array_equal(got, raw_ref,
+                                      err_msg=f"{fmt_name} frame {n}")
+
+
+def test_cli_system_selection(tmp_path):
+    """`ntsc -s SNES ...` matches the SNES-compiled reference CLI sequence;
+    NES is rejected (crt_main.c:25-27)."""
+    from ntsc_crt_tpu import cli
+    from oracle import Oracle
+
+    img = _img(8, w=96, h=72)
+    inp = tmp_path / "in.ppm"
+    outp = tmp_path / "out.ppm"
+    imageio.ppm_write(inp, img)
+    rc = cli.main(["-s", "SNES", "-o", "320", "240", "0", "0",
+                   str(inp), str(outp)])
+    assert rc == 0
+    got = imageio.ppm_read(outp)
+
+    orc = Oracle("SNES", outw=320, outh=240)
+    orc.crt.blend = 1
+    orc.crt.scanlines = 1
+    field = frame = 0
+    for it in range(4):
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=0)
+        field ^= 1
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=0)
+        if (it & 1) == 0:
+            frame ^= 1
+    np.testing.assert_array_equal(got, ref)
+
+    assert cli.main(["-s", "NES", "-o", "320", "240", "0", "0",
+                     str(inp), str(outp)]) == 1
+
+
+def test_cli_raw_format_output(tmp_path):
+    """`--fmt bgra` + .raw outfile dumps the oracle's exact BGRA bytes."""
+    from ntsc_crt_tpu import cli
+    from oracle import Oracle
+    from oracle.oracle import FMT_BGRA, FMT_RGB
+
+    img = _img(9, w=96, h=72)
+    inp = tmp_path / "in.ppm"
+    outp = tmp_path / "out.raw"
+    imageio.ppm_write(inp, img)
+    rc = cli.main(["--fmt", "bgra", "-op", "320", "240", "0", "0",
+                   str(inp), str(outp)])
+    assert rc == 0
+    got = np.frombuffer(outp.read_bytes(), np.uint8)
+
+    orc = Oracle("NTSC", outw=320, outh=240, fmt=FMT_BGRA)
+    orc.crt.blend = 1
+    orc.crt.scanlines = 1
+    for _ in range(4):
+        orc.modulate(img, field=0, frame=0, fmt=FMT_RGB)
+        ref = orc.demodulate(noise=0)
+    np.testing.assert_array_equal(got, ref.ravel())
+
+
 def test_analog_dump(tmp_path):
     from ntsc_crt_tpu import cli
     img = _img(5)

@@ -54,22 +54,30 @@ def test_scanconv_kernel_matches_limb_matmul(rng):
     np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
 
 
-def test_decode_fused_matches_unfused(rng):
+@pytest.mark.parametrize("cc", [4, 5])
+def test_decode_fused_matches_unfused(rng, cc):
     from ntsc_crt_tpu.ops.pallas import decode_fused as df
     sig = jnp.asarray(rng.randint(-127, 128, (R, T), dtype=np.int8))
-    wave = jnp.asarray(rng.randint(-60000, 60000, (R, 4), dtype=np.int32))
+    wave = jnp.asarray(rng.randint(-60000, 60000, (R, cc), dtype=np.int32))
+    if cc == 4:
+        waveI, waveQ = wave, jnp.roll(wave, -3, axis=-1)
+    else:
+        waveI = wave
+        waveQ = jnp.asarray(
+            rng.randint(-60000, 60000, (R, cc), dtype=np.int32))
     bright = jnp.asarray(rng.randint(-20, 20, (R,), dtype=np.int32))
     ct = jnp.full((R,), 180, jnp.int32)
     eqY, eqI, eqQ = dem._eq_coefs(cfg)
     r8, g8, b8 = df.decode_fused_rows(
-        sig, wave, bright, ct, outw=OUTW,
+        sig, waveI, waveQ, bright, ct, outw=OUTW,
         coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)), interpret=True)
     got = (np.asarray(r8).astype(np.int64) << 16) \
         | (np.asarray(g8).astype(np.int64) << 8) | np.asarray(b8)
 
     sig32 = jnp.asarray(sig, jnp.int32)
-    wv_i = fastpath.tile_period(wave, T, 0)
-    wv_q = fastpath.tile_period(wave, T, 3)
+    wv_i = fastpath.tile_period(waveI, T, 0)
+    wv_q = fastpath.tile_period(waveQ, T, 0) if cc == 5 else \
+        fastpath.tile_period(wave, T, 3)
     stacked = jnp.stack([sig32 + bright[:, None], (sig32 * wv_i) >> 9,
                          (sig32 * wv_q) >> 9], axis=1)
     mk = lambda *v: jnp.asarray(v, jnp.int32)[None, :]
@@ -87,7 +95,8 @@ def test_decode_fused_matches_unfused(rng):
     np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
 
 
-def test_encode_fused_matches_unfused(rng):
+@pytest.mark.parametrize("cc", [4, 5])
+def test_encode_fused_matches_unfused(rng, cc):
     import os
     os.environ["NTSC_CRT_FORCE_SCAN"] = "1"
     try:
@@ -95,8 +104,8 @@ def test_encode_fused_matches_unfused(rng):
         fy = jnp.asarray(rng.randint(0, 1021, (R, T), dtype=np.int16))
         fi = jnp.asarray(rng.randint(-700, 700, (R, T), dtype=np.int16))
         fq = jnp.asarray(rng.randint(-600, 600, (R, T), dtype=np.int16))
-        modI = jnp.asarray(rng.randint(-32, 33, (R, 4), dtype=np.int32))
-        modQ = jnp.asarray(rng.randint(-32, 33, (R, 4), dtype=np.int32))
+        modI = jnp.asarray(rng.randint(-32, 33, (R, cc), dtype=np.int32))
+        modQ = jnp.asarray(rng.randint(-32, 33, (R, cc), dtype=np.int32))
         gain = jnp.full((R,), 100, jnp.int32)
         base = jnp.full((R,), 7, jnp.int32)
         cY = filters.init_iir(cfg.l_freq, cfg.y_freq)
@@ -110,7 +119,7 @@ def test_encode_fused_matches_unfused(rng):
                          jnp.asarray(fq, jnp.int32)], axis=1)
         flt = filters.iir_lowpass(yiq, jnp.asarray([cY, cI, cQ])[None, :])
         vy, vi, vq = [np.asarray(v) for v in (flt[:, 0], flt[:, 1], flt[:, 2])]
-        xoff = np.arange(T) % 4
+        xoff = np.arange(T) % cc
         mi = np.asarray(modI)[:, xoff]
         mq = np.asarray(modQ)[:, xoff]
         ire = 7 + ((vy + ((vi * mi) >> 4) + ((vq * mq) >> 4)) * 100 >> 10)

@@ -174,6 +174,58 @@ def test_vhs_lp_ep_parity(mode):
         field ^= 1
 
 
+@pytest.mark.parametrize("dov,doh", [(0, 1), (1, 0), (0, 0)])
+def test_fixed_sync_modes_parity(dov, doh):
+    """CRT_DO_VSYNC/CRT_DO_HSYNC=0 (crt_core.h:71-72): fixed sync positions
+    instead of searching — vsync pinned to -3 with field recovered from the
+    clean signal (crt_core.c:323-341), hsync pinned to 0 (crt_core.c:446-448).
+    Run under heavy noise, where the searched and fixed modes diverge most."""
+    defines = {}
+    if not dov:
+        defines["CRT_DO_VSYNC"] = 0
+    if not doh:
+        defines["CRT_DO_HSYNC"] = 0
+    orc = Oracle("NTSC", outw=320, outh=240, defines=defines)
+    st = pipeline.crt_init(NTSC, 320, 240)
+    img = _img(17)
+    field = frame = 0
+    for n in range(3):
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=40)
+        st = pipeline.modulate(NTSC, st, jnp.asarray(img), field=field,
+                               frame=frame, black_point=0, white_point=100)
+        st = pipeline.demodulate(NTSC, st, noise=40,
+                                 do_vsync=bool(dov), do_hsync=bool(doh))
+        np.testing.assert_array_equal(np.asarray(st.out), ref,
+                                      err_msg=f"v{dov}h{doh} frame {n} out")
+        assert int(st.hsync) == orc.crt.hsync, f"frame {n} hsync"
+        assert int(st.vsync) == orc.crt.vsync, f"frame {n} vsync"
+        np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf)
+        field ^= 1
+        if n == 1:
+            frame ^= 1
+
+
+def test_fixed_sync_pv1k_parity():
+    """Fixed-sync modes through the 5-sample decode branch (PV1K)."""
+    from ntsc_crt_tpu.models.systems import PV1K
+    orc = Oracle("PV1K", outw=320, outh=240,
+                 defines={"CRT_DO_VSYNC": 0, "CRT_DO_HSYNC": 0})
+    st = pipeline.crt_init(PV1K, 320, 240)
+    img = _img(18)
+    for n in range(2):
+        orc.modulate(img, field=0, frame=0, dot_crawl_offset=n)
+        ref = orc.demodulate(noise=20)
+        st = pipeline.modulate(PV1K, st, jnp.asarray(img), field=0, frame=0,
+                               black_point=0, white_point=100,
+                               dot_crawl_offset=n)
+        st = pipeline.demodulate(PV1K, st, noise=20,
+                                 do_vsync=False, do_hsync=False)
+        np.testing.assert_array_equal(np.asarray(st.out), ref,
+                                      err_msg=f"pv1k frame {n}")
+        assert int(st.vsync) == orc.crt.vsync
+
+
 def test_snes_bandlimiting_parity():
     """CRT_DO_BANDLIMITING=1 for SNES: the IIR path the default build skips."""
     cfg = dataclasses.replace(SNES, do_bandlimiting=True)
