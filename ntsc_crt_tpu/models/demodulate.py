@@ -486,7 +486,7 @@ def demodulate_core(
             outw=outw, coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)))
         rgb = jnp.stack([r8, g8, b8], axis=-1).reshape(B, L, outw, 3)
         out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
-                              _b(mon.blend, B), _b(mon.scanlines, B), outh,
+                              mon.blend, mon.scanlines, outh,
                               field_px=field_px, v_fac=v_fac)
         state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new,
                      rn=rn_new, randstate=randstate, inp=inp2d)
@@ -652,6 +652,11 @@ def _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l, blend, scanlines,
             and 0 <= sl_c < (outh + v_fac) // L):
         return _place_rows_uniform(cfg, rgb, out_prev, field_px, bl_c, sl_c,
                                    outh, (outh + v_fac) // L)
+    # general path indexes blend/scanlines per batch slot — lift scalars.
+    # (Do this AFTER the uniform gate: wrapping them at the call site was
+    # measured to cost ~15% NTSC throughput via XLA fusion-heuristic drift.)
+    blend = _b(blend, B)
+    scanlines = _b(scanlines, B)
     end_c = jnp.minimum(end_l, outh)
     cov_end = jnp.maximum(beg_l + 1, end_c - scanlines[:, None])
 

@@ -36,7 +36,13 @@ from ntsc_crt_tpu.ops.fastpath import lerp_resample_weights
 
 LANE = 128
 SUB = 8   # full-VPU tiles; VMEM fits via the three uint8 output planes
-K = 40  # serial unroll; multiple of both the 4- and 5-sample chroma periods
+
+
+def _chunk(cc: int) -> int:
+    """Serial unroll; must be a multiple of the chroma period (the in-chunk
+    carrier phase is static).  32 for the 4-sample systems (measured best),
+    40 for 5-sample."""
+    return 32 if cc == 4 else 40
 
 
 def _eq_chain(state, sx, lf, hf, g0, g1, g2):
@@ -56,6 +62,7 @@ def _eq_chain(state, sx, lf, hf, g0, g1, g2):
 
 def _make_kernel(T, outw, coefs, smap, cc):
     cy, ci, cq = coefs  # per-channel (lf, hf, g0, g1, g2) python ints
+    K = _chunk(cc)
 
     def kernel(sig_ref, wvi_ref, wvq_ref, br_ref, ct_ref, r_ref, g_ref,
                b_ref, oy_s, oi_s, oq_s):
@@ -109,7 +116,7 @@ def decode_fused_rows(sig, waveI, waveQ, bright, contrast, *, outw: int,
     Returns clamped uint8 planes (r, g, b), each (R, outw)."""
     R, T = sig.shape
     cc = waveI.shape[-1]
-    assert K % cc == 0, (K, cc)
+    K = _chunk(cc)
     Tp = -(-T // K) * K
     s, L, Rw = lerp_resample_weights(T, outw)
     smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
@@ -150,7 +157,9 @@ def decode_fused_rows(sig, waveI, waveQ, bright, contrast, *, outw: int,
                         for _ in range(3)),
         scratch_shapes=[pltpu.VMEM((Tp + 1, SUB, LANE), jnp.int32)] * 3,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=36 * 1024 * 1024),  # PV1K: 1520-wide scratch
+            # PV1K's 1520-wide scratch needs ~29 MB; keep the narrower
+            # systems at the measured-best default headroom
+            vmem_limit_bytes=(36 if Tp > 1024 else 24) * 1024 * 1024),
         interpret=interpret,
     )(sigT, wvi, wvq, br, ct)
 

@@ -24,10 +24,16 @@ from ntsc_crt_tpu.ops.fixedpoint import EXP_P
 
 LANE = 128
 SUB = 8
-K = 40  # serial unroll; multiple of both the 4- and 5-sample chroma periods
+
+
+def _chunk(cc: int) -> int:
+    """Serial unroll; multiple of the chroma period (in-chunk phase static).
+    32 for 4-sample systems (measured best), 40 for 5-sample."""
+    return 32 if cc == 4 else 40
 
 
 def _make_kernel(T, coefs, xo_mod, cc):
+    K = _chunk(cc)
     def kernel(fy_ref, fi_ref, fq_ref, mi_ref, mq_ref, gain_ref, base_ref,
                out_ref):
         gain = gain_ref[0]
@@ -75,7 +81,7 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
     (xo % cc).  Returns clamped IRE int8 (R, T)."""
     R, T = fy.shape
     cc = modI.shape[-1]
-    assert K % cc == 0, (K, cc)
+    K = _chunk(cc)
     Tp = -(-T // K) * K
     rows_blk = SUB * LANE
     Rp = -(-R // rows_blk) * rows_blk
@@ -112,7 +118,8 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
         out_specs=spec(Tp),
         out_shape=jax.ShapeDtypeStruct((RB, Tp, SUB, LANE), jnp.int8),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=28 * 1024 * 1024),  # PV1K rows are 1520 wide
+            # PV1K rows are 1520 wide (~18 MB scoped); default elsewhere
+            vmem_limit_bytes=(28 if Tp > 1024 else 16) * 1024 * 1024),
         interpret=interpret,
     )(fyt, fit, fqt, mi, mq, g, b)
 
