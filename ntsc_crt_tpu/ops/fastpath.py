@@ -131,15 +131,17 @@ def lerp_resample(vals: jax.Array, outw: int, shift: int) -> jax.Array:
     # limbs represent any |v| < 2^21 exactly — the decoded YIQ samples stay
     # well under 2^16 for all sane monitor settings (the reference itself
     # wraps int32 far earlier than 2^21-scaled inputs could).  Set
-    # NTSC_CRT_LERP_WIDE=1 for the full 4-limb mod-2^32 path.
+    # NTSC_CRT_LERP_WIDE=1 for the 5-limb path, exact mod 2^32 for ANY
+    # int32 input (matching the reference's -fwrapv product wrap).
     import os
-    n_limbs = 4 if os.environ.get("NTSC_CRT_LERP_WIDE") else 3
+    n_limbs = 5 if os.environ.get("NTSC_CRT_LERP_WIDE") else 3
     parts = [(x & 0x7F).astype(jnp.int8), ((x >> 7) & 0x7F).astype(jnp.int8)]
     if n_limbs == 3:
         parts.append((x >> 14).astype(jnp.int8))      # signed top limb
     else:
         parts.append(((x >> 14) & 0x7F).astype(jnp.int8))
-        parts.append((x >> 21).astype(jnp.int8))
+        parts.append(((x >> 21) & 0x7F).astype(jnp.int8))
+        parts.append((x >> 28).astype(jnp.int8))      # signed top limb
     limbs = jnp.concatenate(parts, axis=0)            # (n*Rc, av)
     Rc = x.shape[0]
 
