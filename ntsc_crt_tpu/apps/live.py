@@ -50,6 +50,15 @@ class LiveSession:
     def __post_init__(self):
         self.state = pipeline.crt_init(self.cfg, self.outw, self.outh)
         self._step = jax.jit(self._step_impl, static_argnames=("raw",))
+        self._fast = jax.jit(self._fast_impl,
+                             static_argnames=("raw", "progressive",
+                                              "preview_hw"),
+                             donate_argnums=(0, 1))
+        self._imgj = None
+        self._img_key = None
+        self._knobs = None
+        self._dirty = True
+        self._loop = None
 
     def _mon(self) -> MonitorParams:
         return MonitorParams(
@@ -88,6 +97,91 @@ class LiveSession:
             self.field ^= 1                       # crt_main.c:492-494
         return np.asarray(self.state.out)
 
+    # ---- device-resident fast loop -------------------------------------
+    # The tunneled TPU pays ~1-2 ms per host->device buffer; the naive tick
+    # uploads the image plus ~15 scalars every frame (~80 ms/frame).  The
+    # fast path keeps the image and a packed knob vector cached on device
+    # (re-uploaded only when a key changes something), advances the
+    # field/frame/dot-crawl progression ON device, and returns a
+    # terminal-sized preview so only ~tens of KB come back per frame.
+
+    _KNOBS = ("monitor_hue", "brightness", "contrast", "saturation",
+              "black_point", "white_point", "blend", "scanlines",
+              "fadephos", "hue", "noise", "color")
+
+    def _knob_vec(self) -> np.ndarray:
+        v = [int(getattr(self, k)) if k not in ("fadephos", "color")
+             else int(bool(getattr(self, k))) for k in self._KNOBS]
+        return np.asarray(v, np.int32)
+
+    def _fast_impl(self, state, loop, imgj, knobs, *, raw, progressive,
+                   preview_hw):
+        field, frame, dco = loop[0], loop[1], loop[2]
+        if self.cfg.cc_vper > 1:              # crt_main.c:466-488
+            dco = (dco + 1) % self.cfg.cc_vper
+        frame = jnp.where(field == 0, frame ^ 1, frame)  # crt_main.c:482-484
+        mon = MonitorParams(
+            hue=knobs[0], brightness=knobs[1], contrast=knobs[2],
+            saturation=knobs[3], black_point=knobs[4], white_point=knobs[5],
+            blend=knobs[6], scanlines=knobs[7])
+        out_prev = jnp.where(knobs[8] != 0, video.fade_phosphors(state.out),
+                             jnp.zeros_like(state.out))
+        state = state._replace(out=out_prev)
+        state = pipeline.step(self.cfg, state, imgj, field=field, frame=frame,
+                              hue=knobs[9], noise=knobs[10], mon=mon,
+                              as_color=knobs[11], raw=raw,
+                              dot_crawl_offset=dco)
+        if not (progressive or self.cfg.progressive):
+            field = field ^ 1                 # crt_main.c:492-494
+        loop = jnp.stack([field, frame, dco])
+        if preview_hw is None:
+            preview = state.out
+        else:
+            rows, cols = preview_hw
+            h, w = self.outh, self.outw
+            ph = min(2 * rows, h)
+            pw = min(cols, w)
+            preview = state.out[::max(1, h // ph)][:ph,
+                                                   ::max(1, w // pw)][:, :pw]
+        return state, loop, preview
+
+    def tick_fast(self, img, preview_hw=None, fetch: bool = True):
+        """One display frame with device-resident loop state.  `img` is
+        cached by object identity — pass a NEW array for new content.
+        preview_hw=(rows, cols) returns a strided-downsampled preview
+        (top/bottom pixel pairs for half-block cells) instead of the full
+        frame, minimizing the per-frame device->host fetch.  fetch=False
+        returns the device array with an async host copy already issued —
+        display loops double-buffer with it to overlap the link round trip
+        (the tunneled TPU costs ~30 ms per SYNCHRONOUS fetch)."""
+        if self._imgj is None or self._img_key != id(img):
+            self._imgj = jnp.asarray(img)
+            self._img_key = id(img)
+        if self._dirty or self._knobs is None:
+            self._knobs = jnp.asarray(self._knob_vec())
+            self._dirty = False
+        if self._loop is None:
+            self._loop = jnp.asarray(
+                [self.field, self.frame, self.dot_crawl_offset], np.int32)
+        self.state, self._loop, preview = self._fast(
+            self.state, self._loop, self._imgj, self._knobs,
+            raw=self.raw, progressive=self.progressive,
+            preview_hw=preview_hw)
+        # python mirrors advance with the same rules (display only)
+        if self.cfg.cc_vper > 1:
+            self.dot_crawl_offset = (self.dot_crawl_offset + 1) % self.cfg.cc_vper
+        if self.field == 0:
+            self.frame ^= 1
+        if not (self.progressive or self.cfg.progressive):
+            self.field ^= 1
+        if not fetch:
+            try:
+                preview.copy_to_host_async()
+            except Exception:
+                pass
+            return preview
+        return np.asarray(preview)
+
     def reset(self):
         """'r' — crt_reset defaults (crt_core.c:250-261)."""
         self.monitor_hue = 0
@@ -96,10 +190,14 @@ class LiveSession:
         self.contrast = 180
         self.black_point = 0
         self.white_point = 100
+        self._dirty = True
 
     def handle_key(self, key: str):
         """The controls.txt key map (crt_main.c:310-435)."""
         k = key
+        self._dirty = True                    # re-upload the knob vector
+        if k in ("f", "e"):
+            self._loop = None                 # field/progressive: resync
         if k == "q":
             self.black_point += 1
         elif k == "a":
