@@ -9,6 +9,8 @@ Extended modes:
     python bench.py --all                 every system + batch-1 latency,
                                           also written to BENCH_FULL.json
     python bench.py --latency             batch-1 latency only (live/60 Hz)
+    python bench.py --stages [--system S] per-stage ms/frame breakdown
+                                          (modulate / demodulate / fused step)
 Env: BENCH_BATCH (default 256), BENCH_ITERS (default 10).
 """
 
@@ -103,10 +105,22 @@ def main():
     ap.add_argument("--system", default="NTSC")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--latency", action="store_true")
+    ap.add_argument("--stages", action="store_true")
     args = ap.parse_args()
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    if args.stages:
+        from ntsc_crt_tpu.utils import profiling
+        res = profiling.profile_stages(args.system, batch=min(batch, 64),
+                                       iters=iters)
+        for stage, ms in res.items():
+            print(json.dumps({
+                "metric": f"{args.system.lower()}_{stage}_ms_per_frame",
+                "value": round(ms, 4), "unit": "ms/frame",
+                "vs_baseline": round((1e3 / ms) / TARGET_FPS, 3)}))
+        return
 
     if args.all:
         systems = ["NTSC", "NTSCVHS", "SNES", "TEMPLATE", "NESRGB", "NES",

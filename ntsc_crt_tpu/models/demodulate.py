@@ -37,7 +37,8 @@ from jax import lax
 
 from ntsc_crt_tpu.models.systems import SystemConfig
 from ntsc_crt_tpu.ops import fastpath, filters, lcg
-from ntsc_crt_tpu.ops.fixedpoint import cdiv, i32, posmod, crem, sincos14
+from ntsc_crt_tpu.ops.fixedpoint import (cdiv, i32, posmod, crem, sincos14,
+                                         np_sincos14)
 from ntsc_crt_tpu.parallel import spatial
 
 
@@ -99,59 +100,91 @@ def _inject_noise_vhs(cfg: SystemConfig, analog_flat, randstate, noise):
 
     The rand() call count per sample is data-dependent (the band's lower
     edge rand() only fires when the upper-edge test passes, via C's &&
-    short circuit).  The band tests can only pass in the last 25 lines, so
-    the stream splits: a closed-form parallel prefix (exactly 2 calls per
-    sample) covers ~95% of the field, and a short lax.scan tail carries the
-    rand state.  Returns (inp int8, randstate', rn' = last rand VALUE —
-    crt_core.c:359,367)."""
+    short circuit), which makes the rand stream sequential.  The exact
+    consumption structure splits the field three ways:
+
+      A  i <= N-25H          cond1 `i > N - H*(6 + rand()%20)` can never
+                             pass -> exactly 2 calls/sample, closed form.
+      B  N-25H < i <= N-6H   cond1 probabilistic -> the ONLY sequential
+                             part: a lean scan carrying just the uint32
+                             state (6 vector ops/step, everything else
+                             hoisted), emitting per-sample entry states.
+      C  i > N-6H            cond1 always passes (threshold < 0) ->
+                             exactly 3 calls/sample, closed form again.
+
+    All per-sample values (noise bytes, band tests, the band sinusoid) are
+    then computed fully in parallel from the entry states.  Returns
+    (inp int8, randstate', rn' = last rand VALUE — crt_core.c:359,367)."""
     N = cfg.input_size
     H = cfg.hres
-    B = analog_flat.shape[0]
+    A1, C1 = lcg.RAND_A, lcg.RAND_B
+    A2 = (A1 * A1) & 0xFFFFFFFF                          # 2-call composition
+    C2 = (A1 * C1 + C1) & 0xFFFFFFFF
 
     head_st = lcg.crt_rand_step(i32(randstate))          # call 0: band line
     head = lcg.crt_rand_out(lax.bitcast_convert_type(head_st, jnp.uint32))
     band_line = (crem(head, 8) - 4) + 14                 # (B,)
 
-    n0 = N - 25 * H + 1
+    n0 = N - 25 * H + 1                                  # |region A|
+    nB = 19 * H                                          # |region B|
+    nC = N - n0 - nB                                     # |region C| = 6H-1
+
+    # --- region A: closed-form stream, first call of each sample -----------
+    # (tables sliced in numpy so the device constants are exactly the used
+    # arrays — an on-device stride of the 2x table defeats constant caching)
     apow, csum = lcg._lcg_tables(2 * n0, lcg.RAND_A, lcg.RAND_B)
-    st1u = lax.bitcast_convert_type(head_st, jnp.uint32)[:, None]
-    streamA = jnp.asarray(apow)[None, ::2] * st1u + jnp.asarray(csum)[None, ::2]
+    st0u = lax.bitcast_convert_type(head_st, jnp.uint32)
+    streamA = jnp.asarray(apow[::2])[None] * st0u[:, None] \
+        + jnp.asarray(csum[::2])[None]
     rnA = (streamA >> 1).astype(jnp.int32)               # crt_rand_out
     sA = analog_flat[:, :n0] + \
         ((((rnA >> 16) & 0xFF) - 0x7F) * noise[:, None] >> 8)
-    # state after all 2*n0 region-A calls
-    a_last = jnp.asarray(apow[-1])
-    c_last = jnp.asarray(csum[-1])
-    stA = lax.bitcast_convert_type(
-        a_last * lax.bitcast_convert_type(head_st, jnp.uint32) + c_last,
-        jnp.int32)
+    stA = jnp.asarray(apow[-1]) * st0u + jnp.asarray(csum[-1])  # uint32 (B,)
 
-    analogB = analog_flat[:, n0:]                        # (B, 25H-1)
-    idxB = jnp.arange(n0, N, dtype=jnp.int32)
+    # --- region B: minimal sequential recurrence ---------------------------
+    # cond1  <=>  H*(rand()%20) > N - 6H - i  (thresholds precomputed)
+    iB = np.arange(n0, n0 + nB, dtype=np.int64)
+    k1B = jnp.asarray((N - 6 * H - iB).astype(np.int32))
 
-    def stepB(carry, xs):
-        st = carry
-        i, acol = xs                                     # scalar, (B,)
-        st = lcg.crt_rand_step(st)
-        rn = lcg.crt_rand_out(lax.bitcast_convert_type(st, jnp.uint32))
-        st2 = lcg.crt_rand_step(st)
-        rB = lcg.crt_rand_out(lax.bitcast_convert_type(st2, jnp.uint32))
-        cond1 = i > (N - H * (16 + (crem(rB, 20) - 10)))
-        st3 = lcg.crt_rand_step(st2)
-        rC = lcg.crt_rand_out(lax.bitcast_convert_type(st3, jnp.uint32))
-        st = jnp.where(cond1, st3, st2)                  # short-circuit &&
-        cond2 = i < (N - H * (5 + (crem(rC, 8) - 4)))
-        in_band = cond1 & cond2
-        ln = cdiv(i * band_line, H)
-        _, cs = sincos14(cdiv(ln * 8192, 180))
-        nn = jnp.where(in_band, cs >> 8, noise)
-        s = acol + ((((rn >> 16) & 0xFF) - 0x7F) * nn >> 8)
-        return st, (s, rn)
+    def stepB(st, k1):
+        st2 = st * np.uint32(A2) + np.uint32(C2)
+        m1 = ((st2 >> 1) % np.uint32(20)).astype(jnp.int32)
+        st3 = st2 * np.uint32(A1) + np.uint32(C1)
+        return jnp.where(m1 * H > k1, st3, st2), st      # emit ENTRY state
 
-    st_final, (sB, rnB) = lax.scan(
-        stepB, stA, (idxB, analogB.T), unroll=4)
-    s = jnp.concatenate([sA, sB.T], axis=1)
-    return (jnp.clip(s, -127, 127).astype(jnp.int8), st_final, rnB[-1])
+    stC0, entB = lax.scan(stepB, stA, k1B, unroll=16)
+
+    # --- region C: exactly 3 calls/sample, closed form ---------------------
+    apow3, csum3 = lcg._lcg_tables(3 * nC, lcg.RAND_A, lcg.RAND_B)
+    a3 = np.concatenate([np.ones(1, np.uint32), apow3[2::3]])[:nC]  # A^{3k}
+    c3 = np.concatenate([np.zeros(1, np.uint32), csum3[2::3]])[:nC]
+    entC = jnp.asarray(a3)[None] * stC0[:, None] + jnp.asarray(c3)[None]
+    st_final = jnp.asarray(apow3[-1]) * stC0 + jnp.asarray(csum3[-1])
+
+    # --- regions B+C: everything else in parallel from the entry states ----
+    ent = jnp.concatenate([entB.T, entC], axis=1)        # (B, nB+nC) uint32
+    iBC = np.arange(n0, N, dtype=np.int64)
+    r1 = ((ent * np.uint32(A1) + np.uint32(C1)) >> 1).astype(jnp.int32)
+    st2 = ent * np.uint32(A2) + np.uint32(C2)
+    m1 = ((st2 >> 1) % np.uint32(20)).astype(jnp.int32)
+    cond1 = m1 * H > jnp.asarray((N - 6 * H - iBC).astype(np.int32))[None]
+    rC = (st2 * np.uint32(A1) + np.uint32(C1)) >> 1      # call 3 (if cond1)
+    m2 = (rC % np.uint32(8)).astype(jnp.int32)
+    cond2 = H * (1 + m2) < jnp.asarray((N - iBC).astype(np.int32))[None]
+    # band sinusoid `cs >> 8` (crt_core.c:353-356): band_line has only 8
+    # possible values (10..17), so the whole table is a trace-time constant
+    # (np_sincos14, exact) selected per batch slot — no on-device gathers
+    cs_tab = np.stack([np_sincos14(iBC * bl // H * 8192 // 180)[1] >> 8
+                       for bl in range(10, 18)], axis=-1)  # (nBC, 8)
+    csb = fastpath.onehot_pick(jnp.asarray(cs_tab)[None],
+                               (band_line - 10)[:, None])
+    nn = jnp.where(cond1 & cond2, csb, noise[:, None])
+    sBC = analog_flat[:, n0:] + ((((r1 >> 16) & 0xFF) - 0x7F) * nn >> 8)
+
+    s = jnp.concatenate([sA, sBC], axis=1)
+    randstate_out = lax.bitcast_convert_type(st_final, jnp.int32)
+    return (jnp.clip(s, -127, 127).astype(jnp.int8), randstate_out,
+            r1[:, -1])
 
 
 # ---------------------------------------------------------------------------

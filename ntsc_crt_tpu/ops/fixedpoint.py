@@ -108,6 +108,28 @@ def sincos14(n) -> tuple[jax.Array, jax.Array]:
     return jnp.where(flip, -s, s), jnp.where(flip, -c, c)
 
 
+def np_sincos14(n) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized host-numpy crt_sincos14 — exact same integer semantics as
+    sincos14 for building trace-time constant tables (int32 results)."""
+    n = np.asarray(n, np.int64) & T14_MASK
+    tab = _SIGPSIN15.astype(np.int64)
+
+    def interp(m):
+        f = m & 0xFF
+        i = np.clip((m >> 8) & 0xFF, 0, 16)
+        a = tab[i]
+        b = tab[i + 1]
+        return a + ((b - a) * f >> 8)
+
+    h = n & ((T14_2PI >> 1) - 1)
+    hi = h > ((T14_2PI >> 2) - 1)
+    c = np.where(hi, -interp(h - (T14_2PI >> 2)), interp((T14_2PI >> 2) - h))
+    s = np.where(hi, interp((T14_2PI >> 1) - h), interp(h))
+    flip = n > ((T14_2PI >> 1) - 1)
+    return (np.where(flip, -s, s).astype(np.int32),
+            np.where(flip, -c, c).astype(np.int32))
+
+
 def host_sincos14(n: int) -> tuple[int, int]:
     """Host-Python exact crt_sincos14 for init-time coefficient derivation."""
     def tab(m: int) -> int:
