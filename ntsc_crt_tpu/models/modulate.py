@@ -657,29 +657,74 @@ def _wrap_i8(x: jax.Array) -> jax.Array:
     return (((x + 128) & 255) - 128).astype(jnp.int8)
 
 
+# IRE table as [l][e][lum] for the bilinear decomposition below
+_NES_T = _NES_IRE.reshape(2, 2, 4).astype(np.int64)
+_NES_D10 = _NES_T[1, 0] - _NES_T[0, 0]
+_NES_D01 = _NES_T[0, 1] - _NES_T[0, 0]
+_NES_D11 = _NES_T[1, 1] - _NES_T[1, 0] - _NES_T[0, 1] + _NES_T[0, 0]
+
+
 def _nes_square_sum4(p, phase0):
-    """sum_{j<4} square_sample(p, phase0 + j) (crt_nes.c:21-61) evaluated
-    arithmetically — elementwise ops and small masked reductions only.
-    p, phase0: broadcastable int32 arrays."""
+    """sum_{j<4} square_sample(p, phase0 + j) (crt_nes.c:21-61), exact.
+
+    square_sample is IRE[(l<<3) + (e<<2) + lum], bilinear in the bits
+    (l, e) for fixed lum, so the 4-phase sum collapses to
+
+        S = 4*T00[lum] + L*(T10-T00)[lum] + E*(T01-T00)[lum]
+            + LE*(T11-T10-T01+T00)[lum]
+
+    with L = sum l_j, E = sum e_j, LE = sum l_j*e_j over the 4 phases.
+    Each lum table is itself bilinear in lum's two bits, and the active
+    emphasis masks {0300,0100,0500,0400,0600,0200} (crt_nes.c:26-30) reduce
+    to three comparisons on k = (phase>>1) % 6: bit6 <=> k<=2,
+    bit7 <=> k==0 or k>=4, bit8 <=> 2<=k<=4.  The whole sum is ~35 cheap
+    elementwise int32 ops — no wide one-hot table picks.
+
+    p, phase0: broadcastable non-negative int32 arrays.  No clamp: the C
+    accumulates the raw sum (|S| <= 4*112965, wrap-free in int32)."""
     hue_p = p & 0x0F
-    lum = (p >> 4) & 3
-    emph = p & 0o700
-    active = jnp.asarray(_NES_ACTIVE, jnp.int32)
-    ire_tab = jnp.asarray(_NES_IRE, jnp.int32)
-    shape = jnp.broadcast_shapes(jnp.shape(p), jnp.shape(phase0))
-    total = jnp.zeros(shape, jnp.int32)
+    lum0 = (p >> 4) & 1
+    lum1 = (p >> 5) & 1
+    lum01 = lum0 & lum1
+    e6 = (p >> 6) & 1
+    e7 = (p >> 7) & 1
+    e8 = (p >> 8) & 1
+    is0 = (hue_p == 0x00).astype(jnp.int32)
+    not13 = (hue_p != 0x0D).astype(jnp.int32)
+
+    def blin(t):  # exact bilinear-in-lum-bits evaluation of a 4-entry table
+        c0, c1, c2, c3 = (int(t[0]), int(t[1] - t[0]), int(t[2] - t[0]),
+                          int(t[3] - t[2] - t[1] + t[0]))
+        return c0 + c1 * lum0 + c2 * lum1 + c3 * lum01
+
+    t00 = blin(_NES_T[0, 0])
+    d10 = blin(_NES_D10)
+    d01 = blin(_NES_D01)
+    d11 = blin(_NES_D11)
+
+    u = crem(phase0, 12)                      # phase >= 0 in every caller
+    z = hue_p + u                             # <= 26: two range reductions
+    z = z - jnp.where(z >= 12, 12, 0)
+    z = z - jnp.where(z >= 12, 12, 0)
+
+    L = E = LE = jnp.zeros((), jnp.int32)
     for j in range(4):
-        phase = crem(phase0 + j, 12)
-        v = (crem(hue_p + phase, 12) < 6).astype(jnp.int32)
-        act = fastpath.onehot_pick(
-            jnp.broadcast_to(active, shape + (6,)), (phase >> 1) % 6)
-        e = ((emph & act) > 0).astype(jnp.int32)
-        l = jnp.where(hue_p == 0x00, 1, jnp.where(hue_p == 0x0D, 0, v))
-        idx = (l << 3) + (e << 2) + lum
-        samp = fastpath.onehot_pick(
-            jnp.broadcast_to(ire_tab, shape + (16,)), idx)
-        total = total + jnp.where(hue_p >= 0x0E, 0, samp)  # black columns
-    return total
+        mj = u + j
+        mj = mj - jnp.where(mj >= 12, 12, 0)
+        k = mj >> 1                           # (phase>>1) % 6
+        zj = z + j
+        v = ((zj - jnp.where(zj >= 12, 12, 0)) < 6).astype(jnp.int32)
+        a6 = (k <= 2).astype(jnp.int32)
+        a7 = ((k == 0) | (k >= 4)).astype(jnp.int32)
+        a8 = ((k >= 2) & (k <= 4)).astype(jnp.int32)
+        e = (e6 & a6) | (e7 & a7) | (e8 & a8)
+        l = is0 | (v & not13)
+        L = L + l
+        E = E + e
+        LE = LE + (l & e)
+
+    total = (t00 << 2) + L * d10 + E * d01 + LE * d11
+    return jnp.where(hue_p >= 0x0E, 0, total)  # black columns
 
 
 def modulate_nes(
@@ -759,12 +804,27 @@ def modulate_nes(
     rsel[np.arange(desth), sy] = 1
     csel = np.zeros((w, destw), np.float32)
     csel[sx, np.arange(destw)] = 1
-    # PPU indices reach 511 > bf16's exact integer range, and TPU f32
-    # matmuls default to bf16 passes — force full-precision accumulation
-    p = jnp.einsum("yh,bhw,wd->byd", jnp.asarray(rsel),
-                   ppu.astype(jnp.float32), jnp.asarray(csel),
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    row_identity = desth == h and np.array_equal(sy, np.arange(h))
+    dt = fastpath._mm_dtype()
+    if dt == jnp.bfloat16:
+        # PPU indices reach 511 > bf16's exact integer range (256); split
+        # into (low byte, high bit) limb planes so each one-hot matmul is
+        # bf16-exact — 2 full-rate MXU passes instead of a 6-pass f32 dot
+        limbs = jnp.stack([ppu & 0xFF, ppu >> 8], axis=-1).astype(dt)
+        if not row_identity:
+            limbs = jnp.einsum("yh,bhwk->bywk", jnp.asarray(rsel, dt), limbs,
+                               preferred_element_type=jnp.float32).astype(dt)
+        r = jnp.einsum("bywk,wd->bydk", limbs, jnp.asarray(csel, dt),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        p = r[..., 0] + (r[..., 1] << 8)
+    else:
+        # CPU: a single f32 dot is exact for indices <= 2^24
+        x = ppu.astype(jnp.float32)
+        if not row_identity:
+            x = jnp.einsum("yh,bhw->byw", jnp.asarray(rsel), x,
+                           preferred_element_type=jnp.float32)
+        p = jnp.einsum("byw,wd->byd", x, jnp.asarray(csel),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
 
     phasetab = jnp.asarray(_NES_PHASETAB, jnp.int32)
 
