@@ -304,7 +304,8 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
         bbase = (hsync_l - crem(hsync_l, CC)) + cfg.cb_beg
     bvals = fastpath.shift_rows(
         rows2.reshape(B * L, H + PAD), bbase.reshape(B * L),
-        cfg.burst_len).reshape(B, L, cfg.burst_len)
+        cfg.burst_len,
+        max_shift=cfg.cb_beg + H - 1).reshape(B, L, cfg.burst_len)
     m = cfg.burst_len // CC
     col_for_cls = np.asarray([(k - cfg.cb_beg) % CC for k in range(CC)])
     per_cls = bvals.reshape(B, L, m, CC)[:, :, :, jnp.asarray(col_for_cls)]
@@ -456,7 +457,8 @@ def demodulate_core(
     rows_ext = jnp.concatenate([rolled[:, :L], rolled[:, 1:]], axis=2)
     rows_ext = spatial.shard_lines(rows_ext, 1, tag="rows_ext")
     sig = fastpath.shift_rows(rows_ext.reshape(B * L, 2 * H),
-                              xpos_l.reshape(B * L), AV).reshape(B, L, AV)
+                              xpos_l.reshape(B * L), AV,
+                              max_shift=H - 1).reshape(B, L, AV)
     sig = spatial.shard_lines(sig, 1, tag="sig")
 
     if CC == 4:

@@ -1,0 +1,60 @@
+"""Direct unit tests for the gather-free data-movement primitives.
+
+These are indirectly exercised by every oracle parity test; the direct
+tests here pin their contracts (exactness over random shifts/values) so a
+regression is attributed to the primitive, not a downstream frame diff.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ntsc_crt_tpu.ops import fastpath
+from ntsc_crt_tpu.models import modulate
+
+
+@pytest.mark.parametrize("R,W,out_len", [
+    (37, 3840, 1487),   # PV1K line extraction shape
+    (64, 2210, 40),     # PV1K burst window shape
+    (16, 1820, 753),    # NTSC line extraction shape
+    (8, 100, 100),      # max_shift == 0 fast path
+    (5, 753, 753),
+])
+def test_shift_rows_exact(R, W, out_len):
+    rng = np.random.RandomState(R * W)
+    ms = W - out_len
+    ext = rng.randint(-127, 128, (R, W)).astype(np.int8)
+    sh = rng.randint(0, ms + 1, R).astype(np.int32)
+    # make sure the extremes are covered
+    sh[0], sh[-1] = 0, ms
+    want = np.stack([ext[r, sh[r]:sh[r] + out_len] for r in range(R)])
+    got = np.asarray(jax.jit(
+        lambda e, s: fastpath.shift_rows(e, s, out_len))(ext, sh))
+    np.testing.assert_array_equal(want.astype(np.int32), got)
+
+
+def test_shift_rows_tight_max_shift():
+    """Callers may pass a tighter shift bound (shrinks the coarse level)."""
+    rng = np.random.RandomState(0)
+    R, W, out_len, ms = 23, 3840, 1487, 1919   # xpos < CRT_HRES for PV1K
+    ext = rng.randint(-127, 128, (R, W)).astype(np.int8)
+    sh = rng.randint(0, ms + 1, R).astype(np.int32)
+    sh[0], sh[-1] = 0, ms
+    want = np.stack([ext[r, sh[r]:sh[r] + out_len] for r in range(R)])
+    got = np.asarray(jax.jit(lambda e, s: fastpath.shift_rows(
+        e, s, out_len, max_shift=ms))(ext, sh))
+    np.testing.assert_array_equal(want.astype(np.int32), got)
+
+
+def test_nes_square_sum4_exhaustive():
+    """The bilinear decomposition of sum_j square_sample(p, ph+j) matches the
+    direct tabulation of square_sample (crt_nes.c:21-61) for EVERY (pixel,
+    phase) combination — 512 x 24 inputs."""
+    tab = modulate._nes_square_table()            # (512, 12), scalar port
+    p = np.repeat(np.arange(512), 24).astype(np.int32)
+    ph = np.tile(np.arange(24), 512).astype(np.int32)
+    want = sum(tab[p, (ph + j) % 12] for j in range(4))
+    got = np.asarray(jax.jit(modulate._nes_square_sum4)(
+        jnp.asarray(p), jnp.asarray(ph)))
+    np.testing.assert_array_equal(want, got)
