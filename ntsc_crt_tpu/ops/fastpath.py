@@ -52,9 +52,10 @@ def shift_rows(ext: jax.Array, shifts: jax.Array, out_len: int,
     if max_shift <= 0:
         return x[:, :out_len].astype(jnp.int32)
 
+    radix = 4
     strides = [1]
-    while strides[-1] * 4 <= max_shift:
-        strides.append(strides[-1] * 4)
+    while strides[-1] * radix <= max_shift:
+        strides.append(strides[-1] * radix)
     strides = strides[::-1]              # coarse first
 
     d_top = strides[0]
@@ -66,7 +67,7 @@ def shift_rows(ext: jax.Array, shifts: jax.Array, out_len: int,
 
     rem = jnp.asarray(shifts, jnp.int32)
     for li, d in enumerate(strides):
-        n = n_top if li == 0 else 4
+        n = n_top if li == 0 else radix
         w_out = (d - 1) + out_len
         q = rem // d
         rem = rem - q * d
