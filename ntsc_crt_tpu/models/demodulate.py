@@ -78,18 +78,25 @@ def _eq_coefs(cfg: SystemConfig):
 # ---------------------------------------------------------------------------
 
 
-def _inject_noise(cfg: SystemConfig, analog_flat, rn, noise):
-    """crt_core.c:346-367, batched: analog_flat (B, N) int32, rn (B,)."""
+def _inject_noise(cfg: SystemConfig, analog2d, rn, noise):
+    """crt_core.c:346-367, batched: analog2d (B, V, H) int8, rn (B,).
+
+    Stays in field shape end to end (the LCG constant tables are reshaped to
+    (V, H) at trace time instead) — flattening the signal here forced a
+    244 MB int32 transpose-copy per batch-256 call."""
     n = cfg.input_size
+    V, H = cfg.vres, cfg.hres
     apow, csum = lcg._lcg_tables(n, lcg.LCG_A, lcg.LCG_B)
-    rn0 = lax.bitcast_convert_type(i32(rn), jnp.uint32)
-    stream = jnp.asarray(apow)[None, :] * rn0[:, None] + jnp.asarray(csum)[None, :]
+    rn0 = lax.bitcast_convert_type(i32(rn), jnp.uint32)[:, None, None]
+    stream = jnp.asarray(apow.reshape(V, H))[None] * rn0 \
+        + jnp.asarray(csum.reshape(V, H))[None]
     byte = ((stream >> 16) & 0xFF).astype(jnp.int32) - 0x7F
     # final state computed separately so `stream` has a single consumer and
     # the whole injection fuses into one elementwise pass
     rn_out = lax.bitcast_convert_type(
-        jnp.asarray(apow[-1]) * rn0 + jnp.asarray(csum[-1]), jnp.int32)
-    s = analog_flat + ((byte * noise[:, None]) >> 8)
+        jnp.asarray(apow[-1]) * rn0[:, 0, 0] + jnp.asarray(csum[-1]),
+        jnp.int32)
+    s = analog2d + ((byte * noise[:, None, None]) >> 8)
     return jnp.clip(s, -127, 127).astype(jnp.int8), rn_out
 
 
@@ -214,10 +221,10 @@ def _find_vsync(cfg: SystemConfig, inp2d, vsync):
     return line.astype(jnp.int32), field
 
 
-def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
+def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
                saturation, outh, v_fac, field_px, do_hsync: bool = True):
     """Per-line sequential pass: hsync chase, ccf EMA, decode-wave derivation
-    (crt_core.c:409-536).  Batched: inp_flat (B, N) int8, carries (B, ...).
+    (crt_core.c:409-536).  Batched: inp2d (B, V, H) int8, carries (B, ...).
 
     TPU reformulation: the hsync search result is *tabulated for every
     possible hsync value at once* (16 fused shifted adds over padded line
@@ -227,7 +234,7 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
     runs entirely on (B, cc) vectors — the line loop touches no signal
     memory at all."""
     CC = cfg.cc_samples
-    B = inp_flat.shape[0]
+    B = inp2d.shape[0]
     L = cfg.lines
     H, V = cfg.hres, cfg.vres
     W = cfg.hsync_window
@@ -245,7 +252,6 @@ def _line_scan(cfg: SystemConfig, inp_flat, hsync0, ccf0, vsync, hue_sn, hue_cs,
     # spill must cover the furthest read: burst window at the max hsync
     # (cb_beg + burst_len) and the hsync search window (sync_beg + 2W)
     PAD = max(cfg.cb_beg + cfg.burst_len, cfg.sync_beg + 2 * W) + 2 * W
-    inp2d = inp_flat.reshape(B, V, H)
     row_idx = posmod(jnp.asarray(lines, jnp.int32)[None, :]
                      + vsync[:, None], V)
     row_idx2 = jnp.concatenate([row_idx, posmod(row_idx[:, -1:] + 1, V)],
@@ -397,12 +403,13 @@ def demodulate_core(
     hue_sn, hue_cs = sn >> 11, cs >> 11                  # crt_core.c:318-320
     saturation = _b(mon.saturation, B)
 
-    analog_flat = jnp.asarray(analog, jnp.int32).reshape(B, -1)
+    analog8 = jnp.asarray(analog, jnp.int8)
     if cfg.vhs_noise:
         inp_flat, randstate, rn_new = _inject_noise_vhs(
-            cfg, analog_flat, _b(randstate, B), noise)
+            cfg, analog8.reshape(B, -1), _b(randstate, B), noise)
+        inp2d_pre = inp_flat.reshape(B, V, H)
     else:
-        inp_flat, rn_new = _inject_noise(cfg, analog_flat, _b(rn, B), noise)
+        inp2d_pre, rn_new = _inject_noise(cfg, analog8, _b(rn, B), noise)
 
     # Phase fences: the tunneled-TPU XLA pipeline has been observed to
     # miscompile fusions that span the sync-recovery scans and the grouped
@@ -410,16 +417,14 @@ def demodulate_core(
     # the natural phase seams keep each phase its own fusion island at
     # negligible cost (the phases are separated by big materializations
     # anyway).
-    inp_flat = lax.optimization_barrier(inp_flat)
-    inp2d = inp_flat.reshape(B, V, H)
+    inp2d = lax.optimization_barrier(inp2d_pre)
     if do_vsync:
         vsync_new, field = _find_vsync(cfg, inp2d, _b(vsync, B))
     else:
         # CRT_DO_VSYNC=0 (crt_core.c:323-341): the field parity is recovered
         # from the CLEAN signal (pre-noise) and the vsync position is pinned
         # to -3 instead of searched
-        _, field = _find_vsync(cfg, analog_flat.reshape(B, V, H),
-                               _b(vsync, B))
+        _, field = _find_vsync(cfg, analog8, _b(vsync, B))
         vsync_new = jnp.full((B,), -3, jnp.int32)
 
     ratio = ((outh << 16) // cfg.lines + 32768) >> 16    # static
@@ -427,7 +432,7 @@ def demodulate_core(
 
     vsync_new, field_px = lax.optimization_barrier((vsync_new, field_px))
     hsync_new, ccf_new, outs = _line_scan(
-        cfg, inp_flat, _b(hsync, B), jnp.asarray(ccf, jnp.int32), vsync_new,
+        cfg, inp2d, _b(hsync, B), jnp.asarray(ccf, jnp.int32), vsync_new,
         hue_sn, hue_cs, saturation, outh, v_fac, field_px, do_hsync=do_hsync)
     outs = lax.optimization_barrier(outs)
 
@@ -633,6 +638,24 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
     old = jnp.asarray(out_prev, jnp.uint8)
     rows = jnp.arange(outh, dtype=jnp.int32)
 
+    # the odd-field shift is the reference's `field * (ratio/2)` where ratio
+    # is round(outh / CRT_LINES) — NOT the uniform repeat factor, which
+    # differs when v_fac > 0 (crt_core.c:404-407)
+    fp = ((((outh << 16) // L) + 32768) >> 16) // 2
+
+    if not blend:
+        # single-pass form: shift the content rows by the per-slot field
+        # offset and mask — computing both field variants in full and
+        # selecting costs 2x the passes (measured ~13% of the NTSC step)
+        cnt = content[:, :outh]
+        rel = rows[None, :] - jnp.where(field_px > 0, fp, 0)[:, None]
+        if fp:
+            shifted = jnp.concatenate([cnt[:, :fp], cnt[:, :outh - fp]],
+                                      axis=1)  # rows < fp masked below
+            cnt = jnp.where((field_px > 0)[:, None, None, None], shifted, cnt)
+        keep_old = ((rel % ratio) >= (ratio - scanlines)) | (rel < 0)
+        return jnp.where(keep_old[:, :, None, None], old, cnt)
+
     def variant(f: int):
         if blend:
             # blend against the previous contents of each line's beg row,
@@ -656,10 +679,6 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
         return jnp.where(keep_old[None, :, None, None], old, cnt)
 
     base = variant(0)
-    # the odd-field shift is the reference's `field * (ratio/2)` where ratio
-    # is round(outh / CRT_LINES) — NOT the uniform repeat factor, which
-    # differs when v_fac > 0 (crt_core.c:404-407)
-    fp = ((((outh << 16) // L) + 32768) >> 16) // 2
     if fp == 0:
         return base
     shifted = variant(fp)
