@@ -634,7 +634,7 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
     B, L = rgb.shape[0], rgb.shape[1]
     # all-uint8 data path: values stay < 256 throughout (the 50/50 blend is
     # (c>>1)+(o>>1) <= 254), quartering the HBM traffic vs int32
-    content = jnp.repeat(jnp.asarray(rgb, jnp.uint8), ratio, axis=1)
+    rgb8 = jnp.asarray(rgb, jnp.uint8)
     old = jnp.asarray(out_prev, jnp.uint8)
     rows = jnp.arange(outh, dtype=jnp.int32)
 
@@ -643,18 +643,46 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
     # differs when v_fac > 0 (crt_core.c:404-407)
     fp = ((((outh << 16) // L) + 32768) >> 16) // 2
 
-    if not blend:
-        # single-pass form: shift the content rows by the per-slot field
-        # offset and mask — computing both field variants in full and
-        # selecting costs 2x the passes (measured ~13% of the NTSC step)
-        cnt = content[:, :outh]
-        rel = rows[None, :] - jnp.where(field_px > 0, fp, 0)[:, None]
+    if outh == ratio * L:
+        # stacked single-pass form: view the output as (L, ratio) row
+        # groups.  Output row r = ratio*k + j reads rgb[k - (j < f)] (f the
+        # per-slot field shift), blends against old[beg = f + ratio*(that
+        # k)], and the scanline-gap mask is constant per (slot, j) — every
+        # select is elementwise in the stacked view and the final reshape
+        # is a relayout-free bitcast.  (Concat/slice row-shift forms break
+        # XLA fusion and cost 2x the passes.)
+        w = rgb.shape[2]
+        old_stk = old.reshape(B, L, ratio, w, 3)
+        fb = field_px > 0                                  # (B,)
+        fb4 = fb[:, None, None, None]
         if fp:
-            shifted = jnp.concatenate([cnt[:, :fp], cnt[:, :outh - fp]],
-                                      axis=1)  # rows < fp masked below
-            cnt = jnp.where((field_px > 0)[:, None, None, None], shifted, cnt)
-        keep_old = ((rel % ratio) >= (ratio - scanlines)) | (rel < 0)
-        return jnp.where(keep_old[:, :, None, None], old, cnt)
+            rgbm1 = jnp.concatenate([rgb8[:, :1], rgb8[:, :-1]], axis=1)
+        k0 = (jnp.arange(L, dtype=jnp.int32) == 0)[None, :]
+        planes = []
+        for j in range(ratio):
+            shiftj = fp > 0 and j < fp                     # row k reads k-1
+            src = jnp.where(fb4, rgbm1, rgb8) if shiftj else rgb8
+            if blend:
+                ob0 = old_stk[:, :, 0]                     # f = 0 beg rows
+                if fp:
+                    obf = old_stk[:, :, fp]
+                    if shiftj:
+                        obf = jnp.concatenate([obf[:, :1], obf[:, :-1]],
+                                              axis=1)
+                    old_beg = jnp.where(fb4, obf, ob0)
+                else:
+                    old_beg = ob0
+                src = (src >> 1) + (old_beg >> 1)          # crt_core.c:608
+            ks = jnp.where(fb, ((j - fp) % ratio) >= ratio - scanlines,
+                           j >= ratio - scanlines)         # (B,)
+            keep = ks[:, None]
+            if fp > 0 and j < fp:
+                keep = keep | (k0 & fb[:, None])           # rel < 0 rows
+            planes.append(jnp.where(keep[:, :, None, None],
+                                    old_stk[:, :, j], src))
+        return jnp.stack(planes, axis=2).reshape(B, outh, w, 3)
+
+    content = jnp.repeat(rgb8, ratio, axis=1)
 
     def variant(f: int):
         if blend:

@@ -58,3 +58,33 @@ def test_nes_square_sum4_exhaustive():
     got = np.asarray(jax.jit(modulate._nes_square_sum4)(
         jnp.asarray(p), jnp.asarray(ph)))
     np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.parametrize("blend,scanlines", [(0, 0), (0, 1), (1, 0), (1, 1)])
+def test_place_rows_uniform_matches_general(blend, scanlines):
+    """The stacked fast-path placement is bit-identical to the general
+    one-hot-select placement for the uniform geometry (outh == ratio*L)."""
+    from ntsc_crt_tpu.models import demodulate as dem
+    from ntsc_crt_tpu.models.systems import SYSTEMS
+
+    cfg = SYSTEMS["NTSC"]
+    rng = np.random.RandomState(blend * 2 + scanlines)
+    B, L, w, ratio = 5, cfg.lines, 64, 2
+    outh = ratio * L
+    rgb = rng.randint(0, 256, (B, L, w, 3)).astype(np.uint8)
+    old = rng.randint(0, 256, (B, outh, w, 3)).astype(np.uint8)
+    field_px = jnp.asarray(np.array([0, 1, 0, 1, 1], np.int32))
+
+    # general-path inputs: per-line begs exactly ratio*l + field_px
+    lrel = jnp.arange(L, dtype=jnp.int32)[None, :]
+    beg = lrel * ratio + field_px[:, None]
+    end = (lrel + 1) * ratio + field_px[:, None]
+    active = beg < outh
+
+    fast = dem._place_rows_uniform(cfg, jnp.asarray(rgb), jnp.asarray(old),
+                                   field_px, blend, scanlines, outh, ratio)
+    slow = dem._place_rows(cfg, jnp.asarray(rgb, jnp.int32),
+                           jnp.asarray(old), beg, end, active,
+                           jnp.full((B,), blend, jnp.int32),
+                           jnp.full((B,), scanlines, jnp.int32), outh)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
