@@ -47,6 +47,27 @@ def test_shift_rows_tight_max_shift():
     np.testing.assert_array_equal(want.astype(np.int32), got)
 
 
+@pytest.mark.parametrize("R,W,out_len,ms", [
+    (16, 257, 129, 127),   # W not a multiple of 4, pad path
+    (32, 64, 40, 3),       # max_shift below one int32 granule (t == 0)
+    (32, 203, 40, 101),    # odd W and odd max_shift
+    (9, 45, 40, 5),        # need > W: coarse level reads past the buffer
+])
+def test_shift_rows_word_edges(R, W, out_len, ms):
+    """Edge geometries for the int32-lane funnel decomposition: non-multiple
+    -of-4 widths, byte-only shifts, and coarse levels that pad."""
+    rng = np.random.RandomState(R + W)
+    ext = rng.randint(-127, 128, (R, W)).astype(np.int8)
+    sh = rng.randint(0, ms + 1, R).astype(np.int32)
+    sh[0], sh[-1] = 0, ms
+    got = np.asarray(jax.jit(lambda e, s: fastpath.shift_rows(
+        e, s, out_len, max_shift=ms))(ext, sh))
+    for r in range(R):   # reads past W (caller contract violation) are 0-pad
+        n = min(out_len, W - sh[r])
+        np.testing.assert_array_equal(
+            ext[r, sh[r]:sh[r] + n].astype(np.int32), got[r, :n])
+
+
 def test_nes_square_sum4_exhaustive():
     """The bilinear decomposition of sum_j square_sample(p, ph+j) matches the
     direct tabulation of square_sample (crt_nes.c:21-61) for EVERY (pixel,
