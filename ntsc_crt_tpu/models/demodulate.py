@@ -42,6 +42,13 @@ from ntsc_crt_tpu.ops.fixedpoint import (cdiv, i32, posmod, crem, sincos14,
 from ntsc_crt_tpu.parallel import spatial
 
 
+# hsync recovery strategy: on-demand window probes inside the line scan
+# (default) vs the all-candidates first-hit table.  Both are bit-exact; the
+# table is kept selectable for A/B measurement (NTSC_CRT_HSYNC_TABLE=1).
+import os as _os
+_HSYNC_SCAN = _os.environ.get("NTSC_CRT_HSYNC_TABLE", "") != "1"
+
+
 class MonitorParams(NamedTuple):
     """Runtime monitor knobs (struct CRT fields, crt_core.h:82-86).
     Each field may be a scalar or a (B,) vector."""
@@ -252,6 +259,8 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     # spill must cover the furthest read: burst window at the max hsync
     # (cb_beg + burst_len) and the hsync search window (sync_beg + 2W)
     PAD = max(cfg.cb_beg + cfg.burst_len, cfg.sync_beg + 2 * W) + 2 * W
+    PAD += (-(H + PAD)) % 128      # lane-align H+PAD so the hsync scan can
+    #                                view rows as (nblk, 128) blocks for free
     row_idx = posmod(jnp.asarray(lines, jnp.int32)[None, :]
                      + vsync[:, None], V)
     row_idx2 = jnp.concatenate([row_idx, posmod(row_idx[:, -1:] + 1, V)],
@@ -261,7 +270,59 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     rows2 = jnp.concatenate([rolled[:, :L],
                              rolled[:, 1:, :PAD]], axis=2)  # (B, L, H+PAD)
 
-    if do_hsync:
+    if do_hsync and _HSYNC_SCAN:
+        # --- hsync search on demand inside the line scan -------------------
+        # The reference probes ONE 16-sample window per line, at the running
+        # hsync estimate (crt_core.c:434-450).  Tabulating the first-hit for
+        # every candidate column (the previous formulation) costs 2W full
+        # passes over the (B, L, H) table — measured as the single largest
+        # kernel in every system's step (~17% of NTSC, ~16% of PV1K), bound
+        # by the per-pass misaligned lane-slice relayouts.  Instead, pull
+        # the window out per line with two one-hot stages (gather-free):
+        # 128-wide block pair select, then an in-pair one-hot correlation.
+        thresh = cfg.hsync_thresh * cfg.sync_level
+        c0 = cfg.sync_beg - W
+        tW = 2 * W
+        HP = rows2.shape[2]
+        nblk = HP // 128                                  # PAD lane-aligns
+        blocks = rows2.reshape(B, L, nblk, 128)
+        dt = fastpath._mm_dtype()
+        iota_n = jnp.arange(nblk, dtype=jnp.int32)
+        iota_m = jnp.arange(256, dtype=jnp.int32)
+
+        def hstep(hsync, i):
+            blk = lax.dynamic_index_in_dim(blocks, i, axis=1, keepdims=False)
+            act = lax.dynamic_index_in_dim(active_l, i, axis=1,
+                                           keepdims=False)
+            base = hsync + c0                             # (B,) in [c0, H+c0)
+            q, r = base >> 7, base & 127
+            bl = blk.astype(dt)                           # (B, nblk, 128)
+            oh0 = (iota_n[None] == q[:, None]).astype(dt)
+            oh1 = (iota_n[None] == (q + 1)[:, None]).astype(dt)
+            b0 = jnp.einsum("bn,bnm->bm", oh0, bl,
+                            preferred_element_type=jnp.float32)
+            b1 = jnp.einsum("bn,bnm->bm", oh1, bl,
+                            preferred_element_type=jnp.float32)
+            bp = jnp.concatenate([b0, b1], axis=1).astype(dt)  # (B, 256)
+            # win[b, t] = bp[b, r_b + t]: correlate with the r one-hot
+            F = jnp.pad((iota_m[None] == r[:, None]).astype(dt),
+                        ((0, 0), (tW, 0)))
+            Fs = jnp.stack([F[:, tW - t:tW - t + 256] for t in range(tW)],
+                           axis=2)                        # (B, 256, tW)
+            win = jnp.einsum("bm,bmt->bt", bp, Fs,
+                             preferred_element_type=jnp.float32)
+            run = jnp.cumsum(win.astype(jnp.int32), axis=1)
+            hit = run <= thresh                           # first j wins
+            j = jnp.where(jnp.any(hit, axis=1),
+                          jnp.argmax(hit, axis=1).astype(jnp.int32), tW)
+            nxt = posmod(j - W + hsync, H)
+            hsync = jnp.where(act, nxt, hsync)
+            return hsync, hsync
+
+        hsync_f, hseq = lax.scan(hstep, i32(hsync0),
+                                 jnp.arange(L, dtype=jnp.int32), unroll=8)
+        hsync_l = lax.optimization_barrier(jnp.swapaxes(hseq, 0, 1))  # (B, L)
+    elif do_hsync:
         # --- hsync transition table (crt_core.c:434-450, all h at once) ----
         # window at candidate h starts at column h + sync_beg - W; running
         # sum over 16 samples, first <= thresh wins; fall-through keeps i==W
