@@ -288,7 +288,9 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
         blocks = rows2.reshape(B, L, nblk, 128)
         dt = fastpath._mm_dtype()
         iota_n = jnp.arange(nblk, dtype=jnp.int32)
-        iota_m = jnp.arange(256, dtype=jnp.int32)
+
+        iota_2 = jnp.arange(2, dtype=jnp.int32)
+        iota_g = jnp.arange(16, dtype=jnp.int32)
 
         def hstep(hsync, i):
             blk = lax.dynamic_index_in_dim(blocks, i, axis=1, keepdims=False)
@@ -297,19 +299,25 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
             base = hsync + c0                             # (B,) in [c0, H+c0)
             q, r = base >> 7, base & 127
             bl = blk.astype(dt)                           # (B, nblk, 128)
-            oh0 = (iota_n[None] == q[:, None]).astype(dt)
-            oh1 = (iota_n[None] == (q + 1)[:, None]).astype(dt)
-            b0 = jnp.einsum("bn,bnm->bm", oh0, bl,
+            # 128-block pair [q, q+1] in one 2-hot select
+            oh2 = (iota_n[None, None] ==
+                   (q[:, None] + iota_2[None])[..., None]).astype(dt)
+            bp = jnp.einsum("bkn,bnm->bkm", oh2, bl,
                             preferred_element_type=jnp.float32)
-            b1 = jnp.einsum("bn,bnm->bm", oh1, bl,
-                            preferred_element_type=jnp.float32)
-            bp = jnp.concatenate([b0, b1], axis=1).astype(dt)  # (B, 256)
-            # win[b, t] = bp[b, r_b + t]: correlate with the r one-hot
-            F = jnp.pad((iota_m[None] == r[:, None]).astype(dt),
-                        ((0, 0), (tW, 0)))
-            Fs = jnp.stack([F[:, tW - t:tW - t + 256] for t in range(tW)],
-                           axis=2)                        # (B, 256, tW)
-            win = jnp.einsum("bm,bmt->bt", bp, Fs,
+            bp = bp.reshape(B, 16, 16).astype(dt)         # (B, 256) as 16x16
+            # 16-granule pair [r>>4, r>>4 + 1] the same way
+            q2, r2 = r >> 4, r & 15
+            oh3 = (iota_g[None, None] ==
+                   (q2[:, None] + iota_2[None])[..., None]).astype(dt)
+            pair = jnp.einsum("bkg,bgm->bkm", oh3, bp,
+                              preferred_element_type=jnp.float32)
+            pair = pair.reshape(B, 32).astype(dt)
+            # win[b, t] = pair[b, r2_b + t]: correlate with the r2 one-hot
+            F = jnp.pad((jnp.arange(32, dtype=jnp.int32)[None]
+                         == r2[:, None]).astype(dt), ((0, 0), (tW, 0)))
+            Fs = jnp.stack([F[:, tW - t:tW - t + 32] for t in range(tW)],
+                           axis=2)                        # (B, 32, tW)
+            win = jnp.einsum("bm,bmt->bt", pair, Fs,
                              preferred_element_type=jnp.float32)
             run = jnp.cumsum(win.astype(jnp.int32), axis=1)
             hit = run <= thresh                           # first j wins

@@ -80,7 +80,18 @@ def make_batched_step(cfg: SystemConfig, *, noise=0,
         return pipeline.step(cfg, states, imgs, field=fields, frame=frames,
                              noise=noise, mon=mon, dot_crawl_offset=dcos)
 
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    if donate:
+        # AUTO layouts on the donated state: XLA picks matching input/output
+        # layouts for the carried pytree, so the per-step canonicalizing
+        # copies of the big buffers (out, analog) disappear — the state only
+        # ever lives in the compute-natural layout.  (First call relays out
+        # the caller's buffers once.)
+        from jax.experimental.layout import Format, Layout
+        auto = Format(Layout.AUTO)
+        return jax.jit(fn, donate_argnums=(0,),
+                       in_shardings=(auto, None, None, None, None),
+                       out_shardings=auto)
+    return jax.jit(fn)
 
 
 def make_sharded_step(cfg: SystemConfig, mesh: Mesh, *, noise=0,
