@@ -11,6 +11,8 @@ Extended modes:
     python bench.py --latency             batch-1 latency only (live/60 Hz)
     python bench.py --stages [--system S] per-stage ms/frame breakdown
                                           (modulate / demodulate / fused step)
+    python bench.py --kernels [--system S] on-device per-kernel time table
+                                          (jax.profiler trace aggregation)
 Env: BENCH_BATCH (default 256), BENCH_ITERS (default 10).
 """
 
@@ -53,17 +55,19 @@ def bench_system(system: str, batch: int, iters: int, outw=640, outh=480):
     frames = jnp.zeros((batch,), jnp.int32)
     dcos = jnp.zeros((batch,), jnp.int32)
 
-    # warmup / compile.  NOTE: sync via an on-device reduction fetch —
+    # warmup / compile.  NOTE: sync via a host fetch of a small state leaf —
     # block_until_ready alone does not drain the execution queue on the
-    # tunneled TPU platform this runs under.
-    checksum = jax.jit(lambda s: s.out.astype(jnp.int32).sum())
+    # tunneled TPU platform, and feeding the Layout.AUTO state into a fresh
+    # reduction jit forces a relayout the platform rejects for some layouts.
+    import numpy as _np
+    checksum = lambda s: int(_np.asarray(s.hsync).sum())
     states = step(states, imgs, fields, frames, dcos)
-    checksum(states).item()
+    checksum(states)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         states = step(states, imgs, fields, frames, dcos)
-    checksum(states).item()
+    checksum(states)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
@@ -106,6 +110,7 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--latency", action="store_true")
     ap.add_argument("--stages", action="store_true")
+    ap.add_argument("--kernels", action="store_true")
     args = ap.parse_args()
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
@@ -120,6 +125,17 @@ def main():
                 "metric": f"{args.system.lower()}_{stage}_ms_per_frame",
                 "value": round(ms, 4), "unit": "ms/frame",
                 "vs_baseline": round((1e3 / ms) / TARGET_FPS, 3)}))
+        return
+
+    if args.kernels:
+        from ntsc_crt_tpu.utils import profiling
+        total_ms, rows = profiling.profile_kernels(args.system,
+                                                   batch=batch)
+        print(f"device total {total_ms:.1f} ms, top kernels:")
+        for name, ms, long_name in rows:
+            print(f"{ms:9.2f} ms  {name[:60]}")
+            if long_name:
+                print(f"           -> {long_name[:160]}")
         return
 
     if args.all:

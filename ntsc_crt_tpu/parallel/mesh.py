@@ -73,6 +73,12 @@ def make_batched_step(cfg: SystemConfig, *, noise=0,
 
     Returns jitted fn(states, imgs, fields, frames, dcos) -> states.
     imgs: uint8 (B, h, w, 3) or uint16 (B, h, w) for NES.
+
+    With donate=True the carried state rides compiler-chosen (Layout.AUTO)
+    buffer layouts.  Read results via direct host fetches (np.asarray) —
+    feeding the state into a *separate* jit can force a relayout that some
+    TPU platforms reject for auto-chosen layouts; pass donate=False if the
+    state must interoperate with other jitted consumers on device.
     """
     mon = mon or MonitorParams()
 

@@ -25,12 +25,15 @@ import jax.numpy as jnp
 
 def _checksum(tree) -> None:
     """Force completion of everything `tree` depends on by fetching a scalar
-    reduction of its leaves (queue-draining sync on tunneled platforms)."""
+    reduction of its leaves (queue-draining sync on tunneled platforms).
+    Fetches the SMALLEST leaf directly: all outputs of one executable
+    materialize together, so any output transfer waits for the whole step.
+    (Feeding Layout.AUTO buffers — the donated step state — into a fresh
+    jit forces a relayout that the tunneled platform rejects for some
+    auto-chosen layouts; a plain host fetch always works.)"""
     leaves = jax.tree.leaves(tree)
-    total = np.int64(0)
-    for leaf in leaves[:1]:  # one leaf suffices: stages are sequenced on it
-        total += np.asarray(leaf.ravel()[0].astype(jnp.int32)).item()
-    return total
+    leaf = min(leaves, key=lambda x: getattr(x, "size", 1 << 62))
+    return int(np.asarray(leaf).sum())
 
 
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2, **kwargs):
@@ -86,6 +89,70 @@ def profile_stages(system: str = "NTSC", batch: int = 64,
     res["step"] = time_fn(step, states, imgs, fields, frames, dcos,
                           iters=iters) / batch * 1e3
     return res
+
+
+def kernel_breakdown(logdir: str, top: int = 16):
+    """Aggregate per-kernel device time from the newest jax.profiler trace
+    under `logdir`.
+
+    Returns (total_ms, rows) where rows are (name, ms, hlo_long_name) sorted
+    by total duration — the on-device complement to `profile_stages` (which
+    only sees wall-clock per phase).  Compile-generated fusion names change
+    across runs; the long_name column carries the HLO signature that
+    identifies what each fusion computes.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no .trace.json.gz under {logdir}")
+    events = json.load(gzip.open(files[-1]))["traceEvents"]
+    agg = collections.Counter()
+    names = {}
+    total = 0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        n = e.get("name", "?")
+        if n.startswith(("$", "jit_", "Pjit", "np.")):
+            continue
+        agg[n] += e["dur"]
+        total += e["dur"]
+        ln = e.get("args", {}).get("long_name")
+        if ln:
+            names[n] = ln
+    rows = [(n, d / 1e3, names.get(n, "")) for n, d in agg.most_common(top)]
+    return total / 1e3, rows
+
+
+def profile_kernels(system: str = "NTSC", batch: int = 256,
+                    noise: int = 12, steps: int = 3,
+                    logdir: str = "/tmp/ntsc_trace", top: int = 16):
+    """Run `steps` batched steps under a device trace and aggregate the
+    per-kernel breakdown (see kernel_breakdown)."""
+    from ntsc_crt_tpu.models.systems import SYSTEMS
+    from ntsc_crt_tpu.parallel import mesh as pmesh
+
+    cfg = SYSTEMS[system]
+    states = pmesh.init_batch(cfg, batch, 640, 480)
+    step = pmesh.make_batched_step(cfg, noise=noise)
+    rng = np.random.RandomState(0)
+    if cfg.kind == "nes":
+        imgs = jnp.asarray(rng.randint(0, 512, (batch, 240, 256), np.uint16))
+    else:
+        imgs = jnp.asarray(rng.randint(0, 256, (batch, 240, 320, 3),
+                                       np.uint8))
+    z = jnp.zeros((batch,), jnp.int32)
+    states = step(states, imgs, z, z, z)          # compile + warm
+    _checksum(states)
+    with trace(logdir):
+        for _ in range(steps):
+            states = step(states, imgs, z, z, z)
+        _checksum(states)
+    return kernel_breakdown(logdir, top=top)
 
 
 @contextlib.contextmanager
