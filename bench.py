@@ -106,7 +106,7 @@ def bench_latency(system: str = "NTSC", outw=832, outh=624, iters=60):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--system", default="NTSC")
+    ap.add_argument("--system", "-s", default="NTSC")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--latency", action="store_true")
     ap.add_argument("--stages", action="store_true")
