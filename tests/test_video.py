@@ -96,3 +96,36 @@ def test_checkpoint_resume():
     b = run_rest(restored, (0, 1))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_orbax_checkpoint_resume(tmp_path):
+    """Orbax round trip of CRTState + video cursor: restored state continues
+    the frame sequence bit-exactly (utils/checkpoint.py)."""
+    from ntsc_crt_tpu.utils import checkpoint as ckpt
+
+    frames = _frames(4, seed=5)
+    st = pipeline.crt_init(NTSC, 160, 120)
+    fn = jax.jit(lambda s, f: video.video_exact(NTSC, s, f, noise=9))
+    st_mid, _ = fn(st, jnp.asarray(frames[:2]))
+
+    ckpt.save_checkpoint(str(tmp_path / "ck"), st_mid,
+                         frame_index=2, field=0, frame=1)
+    restored, meta = ckpt.load_checkpoint(str(tmp_path / "ck"))
+    assert meta == {"frame_index": 2, "field": 0, "frame": 1}
+    for a, b in zip(jax.tree.leaves(st_mid), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def run_rest(state):
+        outs = []
+        field, frame = meta["field"], meta["frame"]
+        for i in range(meta["frame_index"], 4):
+            state = pipeline.step(NTSC, state, jnp.asarray(frames[i]),
+                                  field=field, frame=frame, noise=9)
+            outs.append(np.asarray(state.out))
+            field ^= 1
+            if (i & 1) == 0:
+                frame ^= 1
+        return outs
+
+    for x, y in zip(run_rest(st_mid), run_rest(restored)):
+        np.testing.assert_array_equal(x, y)
