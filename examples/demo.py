@@ -9,6 +9,9 @@ from pathlib import Path
 
 import numpy as np
 
+# runnable straight from a checkout: `python examples/demo.py`
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def test_card(w=320, h=240):
     """SMPTE-ish color bars over a frequency sweep (artifact-color bait)."""
