@@ -48,14 +48,15 @@ def test_shift_rows_tight_max_shift():
 
 
 @pytest.mark.parametrize("R,W,out_len,ms", [
-    (16, 257, 129, 127),   # W not a multiple of 4, pad path
-    (32, 64, 40, 3),       # max_shift below one int32 granule (t == 0)
+    (16, 257, 129, 127),   # W not a multiple of 4
+    (32, 64, 40, 3),       # tiny max_shift (single fine level)
     (32, 203, 40, 101),    # odd W and odd max_shift
     (9, 45, 40, 5),        # need > W: coarse level reads past the buffer
 ])
 def test_shift_rows_word_edges(R, W, out_len, ms):
-    """Edge geometries for the int32-lane funnel decomposition: non-multiple
-    -of-4 widths, byte-only shifts, and coarse levels that pad."""
+    """Edge geometries any shift_rows implementation must get right:
+    odd widths, shifts below one radix granule, and coarse levels whose
+    furthest static slice pads past the buffer."""
     rng = np.random.RandomState(R + W)
     ext = rng.randint(-127, 128, (R, W)).astype(np.int8)
     sh = rng.randint(0, ms + 1, R).astype(np.int32)
@@ -109,3 +110,30 @@ def test_place_rows_uniform_matches_general(blend, scanlines):
                            jnp.full((B,), blend, jnp.int32),
                            jnp.full((B,), scanlines, jnp.int32), outh)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_kernel_breakdown_aggregation(tmp_path):
+    """profiling.kernel_breakdown sums device kernel durations from a
+    jax.profiler trace file, skipping dispatch-level entries."""
+    import gzip
+    import json
+    from ntsc_crt_tpu.utils import profiling
+
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    ev = [
+        {"ph": "X", "name": "fusion.1", "dur": 1500,
+         "args": {"long_name": "%fusion.1 = f32[8]{0} fusion(...)"}},
+        {"ph": "X", "name": "fusion.1", "dur": 500},
+        {"ph": "X", "name": "copy.2", "dur": 1000},
+        {"ph": "X", "name": "jit_step", "dur": 99999},   # dispatch: skipped
+        {"ph": "M", "name": "fusion.9"},                 # metadata: skipped
+    ]
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": ev}, f)
+
+    total_ms, rows = profiling.kernel_breakdown(str(tmp_path), top=5)
+    assert total_ms == pytest.approx(3.0)
+    assert rows[0][0] == "fusion.1" and rows[0][1] == pytest.approx(2.0)
+    assert "f32[8]" in rows[0][2]
+    assert rows[1][0] == "copy.2"
