@@ -156,17 +156,22 @@ def _inject_noise_vhs(cfg: SystemConfig, analog_flat, randstate, noise):
     stA = jnp.asarray(apow[-1]) * st0u + jnp.asarray(csum[-1])  # uint32 (B,)
 
     # --- region B: minimal sequential recurrence ---------------------------
-    # cond1  <=>  H*(rand()%20) > N - 6H - i  (thresholds precomputed)
+    # cond1  <=>  H*(rand()%20) > N - 6H - i  <=>  m1 >= (N-6H-i)//H + 1
+    # (threshold precomputed per step, killing the per-step multiply); st3
+    # derives straight from st via the 3-call composition so both candidate
+    # states leave the critical path's multiply in parallel
     iB = np.arange(n0, n0 + nB, dtype=np.int64)
-    k1B = jnp.asarray((N - 6 * H - iB).astype(np.int32))
+    tkB = jnp.asarray(((N - 6 * H - iB) // H + 1).astype(np.uint32))
+    A3 = (A2 * A1) & 0xFFFFFFFF
+    C3 = (A1 * C2 + C1) & 0xFFFFFFFF
 
-    def stepB(st, k1):
+    def stepB(st, tk):
         st2 = st * np.uint32(A2) + np.uint32(C2)
-        m1 = ((st2 >> 1) % np.uint32(20)).astype(jnp.int32)
-        st3 = st2 * np.uint32(A1) + np.uint32(C1)
-        return jnp.where(m1 * H > k1, st3, st2), st      # emit ENTRY state
+        st3 = st * np.uint32(A3) + np.uint32(C3)
+        m1 = (st2 >> 1) % np.uint32(20)
+        return jnp.where(m1 >= tk, st3, st2), st         # emit ENTRY state
 
-    stC0, entB = lax.scan(stepB, stA, k1B, unroll=16)
+    stC0, entB = lax.scan(stepB, stA, tkB, unroll=16)
 
     # --- region C: exactly 3 calls/sample, closed form ---------------------
     apow3, csum3 = lcg._lcg_tables(3 * nC, lcg.RAND_A, lcg.RAND_B)
