@@ -137,3 +137,14 @@ def test_kernel_breakdown_aggregation(tmp_path):
     assert rows[0][0] == "fusion.1" and rows[0][1] == pytest.approx(2.0)
     assert "f32[8]" in rows[0][2]
     assert rows[1][0] == "copy.2"
+
+
+def test_profile_stages_smoke():
+    """profile_stages runs the three timers end-to-end and returns sane
+    positive ms/frame numbers (API guard for the profiling module)."""
+    from ntsc_crt_tpu.utils import profiling
+
+    res = profiling.profile_stages("NTSC", batch=2, outw=160, outh=120,
+                                   iters=1)
+    assert set(res) == {"modulate", "demodulate", "step"}
+    assert all(v > 0 for v in res.values())
