@@ -104,6 +104,71 @@ def bench_latency(system: str = "NTSC", outw=832, outh=624, iters=60):
     return dt / iters * 1e3  # ms/frame
 
 
+GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "device_parity_goldens.npz")
+PARITY_SYSTEMS = ("NTSC", "PV1K", "NES")
+
+
+def _parity_run(system: str):
+    """Two small frames (state carried, field toggled) on the DEFAULT
+    backend; returns the final state leaves.  Shapes are tiny so this adds
+    <1 s to the bench but exercises encoder+decoder+Pallas/bf16 paths on
+    whatever hardware the driver runs bench.py on."""
+    import jax
+    import jax.numpy as jnp
+    from ntsc_crt_tpu.models.systems import SYSTEMS
+    from ntsc_crt_tpu.models import pipeline
+
+    cfg = SYSTEMS[system]
+    state = pipeline.crt_init(cfg, 128, 96)
+    img = jnp.asarray(_inputs(system, cfg, 1)[0])
+
+    def fn(state, field, frame):
+        return pipeline.step(cfg, state, img, field=field, frame=frame,
+                             noise=7)
+
+    step = jax.jit(fn)
+    state = step(state, jnp.int32(0), jnp.int32(0))
+    state = step(state, jnp.int32(1), jnp.int32(1))
+    return {f"{system}/{k}": np.asarray(v)
+            for k, v in state._asdict().items()}
+
+
+def make_goldens():
+    """Regenerate the committed CPU-golden fixture (run under JAX_PLATFORMS=
+    cpu).  bench.py's default mode replays the same frames on the bench
+    device and asserts bit-equality — driver-visible TPU correctness
+    (VERDICT.md r2, next-round #2)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # beats axon sitecustomize
+    assert jax.default_backend() == "cpu", \
+        "goldens must be generated on CPU (set JAX_PLATFORMS=cpu)"
+    arrs = {}
+    for s in PARITY_SYSTEMS:
+        arrs.update(_parity_run(s))
+    np.savez_compressed(GOLDENS, **arrs)
+    print(f"wrote {GOLDENS}: {sorted(arrs)}")
+
+
+def check_device_parity() -> int:
+    """1 if the bench device reproduces the committed CPU goldens bit-exactly
+    (the <=1 LSB obligation is met at 0 LSB), else 0."""
+    if not os.path.exists(GOLDENS):
+        return 0
+    ref = np.load(GOLDENS)
+    ok = 1
+    for s in PARITY_SYSTEMS:
+        got = _parity_run(s)
+        for k, v in got.items():
+            if not np.array_equal(ref[k], v):
+                n = int((np.asarray(ref[k]) != v).sum())
+                print(f"# parity FAIL {k}: {n} mismatched elements",
+                      flush=True)
+                ok = 0
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--system", "-s", default="NTSC")
@@ -111,7 +176,19 @@ def main():
     ap.add_argument("--latency", action="store_true")
     ap.add_argument("--stages", action="store_true")
     ap.add_argument("--kernels", action="store_true")
+    ap.add_argument("--make-goldens", action="store_true")
+    ap.add_argument("--parity", action="store_true")
     args = ap.parse_args()
+
+    if args.make_goldens:
+        make_goldens()
+        return
+    if args.parity:
+        print(json.dumps({"metric": "tpu_parity",
+                          "value": check_device_parity(),
+                          "unit": "bitexact_vs_cpu_goldens",
+                          "vs_baseline": 1.0}))
+        return
 
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
@@ -141,7 +218,9 @@ def main():
     if args.all:
         systems = ["NTSC", "NTSCVHS", "SNES", "TEMPLATE", "NESRGB", "NES",
                    "PV1K"]
-        results = []
+        results = [{"metric": "tpu_parity", "value": check_device_parity(),
+                    "unit": "bitexact_vs_cpu_goldens", "vs_baseline": 1.0}]
+        print(json.dumps(results[0]), flush=True)
         for s in systems:
             fps = bench_system(s, batch, iters)
             rec = {"metric": f"{s.lower()}_encode_decode_640x480",
@@ -165,6 +244,18 @@ def main():
                           "value": round(lat, 3), "unit": "ms/frame",
                           "vs_baseline": round(TARGET_LAT_MS / lat, 3)}))
         return
+
+    # Driver-visible device correctness (VERDICT.md r2 #2): replay the
+    # committed CPU goldens on the bench device FIRST, then print the
+    # headline throughput line LAST (the driver parses the final line).
+    try:
+        parity = check_device_parity()
+    except Exception as e:  # a parity crash must not hide the perf number
+        print(f"# parity check crashed: {e!r}", flush=True)
+        parity = 0
+    print(json.dumps({"metric": "tpu_parity", "value": parity,
+                      "unit": "bitexact_vs_cpu_goldens",
+                      "vs_baseline": 1.0}), flush=True)
 
     fps = bench_system(args.system, batch, iters)
     print(json.dumps({

@@ -126,9 +126,7 @@ def main(argv=None) -> int:
     elif cfg.kind == "nes":
         img = np.random.RandomState(0).randint(0, 64, (240, 256), np.uint16)
     else:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
-                                        "..", "..", "examples"))
-        from demo import test_card
+        from ntsc_crt_tpu.utils.testcard import test_card
         img = test_card()
 
     sess = LiveSession(cfg, outw=args.outw, outh=args.outh, noise=args.noise)

@@ -290,6 +290,17 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
         tW = 2 * W
         HP = rows2.shape[2]
         nblk = HP // 128                                  # PAD lane-aligns
+        # The 128-block pair select below silently reads ZEROS (wrong window
+        # sums -> corrupted hsync chase) if base = hsync + c0 goes negative
+        # or the straddling block q+1 reaches nblk.  All shipped configs are
+        # safe, but NTSC sits exactly at the boundary — fail loudly at trace
+        # time for any future SystemConfig that violates the margins
+        # (ADVICE.md r2 #1).
+        assert c0 >= 0, \
+            f"{cfg.name}: sync_beg ({cfg.sync_beg}) < hsync window ({W})"
+        assert ((H - 1 + c0) >> 7) + 1 < nblk, \
+            (f"{cfg.name}: hsync probe block q+1 can reach nblk={nblk} "
+             f"(H={H}, c0={c0}) — bump PAD")
         blocks = rows2.reshape(B, L, nblk, 128)
         dt = fastpath._mm_dtype()
         iota_n = jnp.arange(nblk, dtype=jnp.int32)
@@ -593,11 +604,15 @@ def demodulate_core(
             wvI_l, wvQ_l = wave_l, jnp.roll(wave_l, -3, axis=-1)
         else:
             wvI_l, wvQ_l = waveI_l, waveQ_l
-        r8, g8, b8 = _df.decode_fused_rows(
+        interp = filters._pallas_interpret()
+        coefs3 = (tuple(eqY), tuple(eqI), tuple(eqQ))
+        r8, g8, b8 = spatial.shard_rows_call(
+            lambda s_, wi_, wq_, br_, ct_: _df.decode_fused_rows(
+                s_, wi_, wq_, br_, ct_, outw=outw, coefs=coefs3,
+                interpret=interp),
             sig.astype(jnp.int8).reshape(B * L, AV),
             wvI_l.reshape(B * L, CC), wvQ_l.reshape(B * L, CC),
-            brr.reshape(B * L), ctr.reshape(B * L),
-            outw=outw, coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)))
+            brr.reshape(B * L), ctr.reshape(B * L))
         rgb = jnp.stack([r8, g8, b8], axis=-1).reshape(B, L, outw, 3)
         out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
                               mon.blend, mon.scanlines, outh,
@@ -659,10 +674,12 @@ def demodulate_core(
         from ntsc_crt_tpu.ops.pallas import scanconv_pallas as _sc
         valid = None
         ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
-        packed = _sc.scanconv_rows(
+        interp = filters._pallas_interpret()
+        packed = spatial.shard_rows_call(
+            lambda y_, i_, q_, c_: _sc.scanconv_rows(
+                y_, i_, q_, c_, outw=outw, interpret=interp),
             oy.reshape(B * L, AV), oi.reshape(B * L, AV),
-            oq.reshape(B * L, AV), ctr.reshape(B * L),
-            outw=outw).reshape(B, L, outw)
+            oq.reshape(B * L, AV), ctr.reshape(B * L)).reshape(B, L, outw)
         rgb = jnp.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
                          packed & 0xFF], axis=-1)
     else:
@@ -732,6 +749,7 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
         if fp:
             rgbm1 = jnp.concatenate([rgb8[:, :1], rgb8[:, :-1]], axis=1)
         k0 = (jnp.arange(L, dtype=jnp.int32) == 0)[None, :]
+        kL = (jnp.arange(L, dtype=jnp.int32) == L - 1)[None, :]
         planes = []
         for j in range(ratio):
             shiftj = fp > 0 and j < fp                     # row k reads k-1
@@ -752,6 +770,12 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
             keep = ks[:, None]
             if fp > 0 and j < fp:
                 keep = keep | (k0 & fb[:, None])           # rel < 0 rows
+            if fp > 0 and j > fp and j >= ratio - scanlines:
+                # bottom clip (crt_core.c:432): under the odd-field shift the
+                # last group's end is clipped to outh, so its duplicate range
+                # is [beg+1, outh - scanlines) — slots j >= ratio - scanlines
+                # of group L-1 keep old even though mid-frame groups write
+                keep = keep | (kL & fb[:, None])
             planes.append(jnp.where(keep[:, :, None, None],
                                     old_stk[:, :, j], src))
         return jnp.stack(planes, axis=2).reshape(B, outh, w, 3)

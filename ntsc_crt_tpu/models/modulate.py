@@ -205,14 +205,18 @@ def _encode_active_fused(cfg, fy, fi, fq, modI_rows, modQ_rows, gain, base,
     else:
         coefs = None
     R = B * desth
-    out = _ef.encode_fused_rows(
+    interp = filters._pallas_interpret()
+    xo_mod = xo % cc
+    out = spatial.shard_rows_call(
+        lambda y_, i_, q_, mi_, mq_, g_, b_: _ef.encode_fused_rows(
+            y_, i_, q_, mi_, mq_, g_, b_, coefs=coefs, xo_mod=xo_mod,
+            interpret=interp),
         fy.reshape(R, destw).astype(jnp.int16),
         fi.reshape(R, destw).astype(jnp.int16),
         fq.reshape(R, destw).astype(jnp.int16),
         modI_rows.reshape(R, cc), modQ_rows.reshape(R, cc),
         jnp.broadcast_to(gain[:, None], (B, desth)).reshape(R),
-        jnp.broadcast_to(base[:, None], (B, desth)).reshape(R),
-        coefs=coefs, xo_mod=xo % cc)
+        jnp.broadcast_to(base[:, None], (B, desth)).reshape(R))
     return out.reshape(B, desth, destw)
 
 

@@ -34,18 +34,30 @@ from jax import lax
 
 def _use_pallas() -> bool:
     """Route the filter recurrences through the Pallas TPU kernels unless
-    running on CPU (tests), explicitly disabled, or tracing under spatial
-    line-sharding (the manual-layout kernels cannot be GSPMD-partitioned —
-    the portable XLA formulation shards instead, parallel/spatial.py)."""
+    running on CPU (tests) or explicitly disabled.  Under spatial
+    line-sharding the kernels still run — per shard, via
+    spatial.shard_rows_call (the rows dim is row-independent, so shard_map
+    over the flattened (data, spatial) axes keeps the fused fast path while
+    GSPMD only handles the seams).  NTSC_CRT_FORCE_PALLAS=1 forces the
+    kernel path in interpret mode on CPU (sharded-kernel parity tests)."""
     if os.environ.get("NTSC_CRT_FORCE_SCAN"):
         return False
-    from ntsc_crt_tpu.parallel import spatial
-    if spatial.active():
-        return False
+    if os.environ.get("NTSC_CRT_FORCE_PALLAS"):
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def _pallas_interpret() -> bool:
+    """interpret= flag for the kernel dispatches: True off-TPU (the Mosaic
+    compiler only targets TPU; interpret mode runs the same lowering as
+    pure XLA ops — bit-identical, used by the forced-kernel CPU tests)."""
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True
 
 from ntsc_crt_tpu.ops.fixedpoint import (
     EXP_ONE,
@@ -115,10 +127,15 @@ def iir_lowpass(s: jax.Array, c, hipass: bool = False) -> jax.Array:
         return jnp.moveaxis(ys, 0, -1)
     if _use_pallas():
         from ntsc_crt_tpu.ops.pallas import filters_pallas as fp
+        from ntsc_crt_tpu.parallel import spatial
         lead = s.shape[:-1]
         rows = s.reshape(-1, s.shape[-1])
         crow = jnp.broadcast_to(c, lead).reshape(-1)
-        return fp.iir_lowpass_rows(rows, crow).reshape(s.shape)
+        interp = _pallas_interpret()
+        y = spatial.shard_rows_call(
+            lambda r, cr: fp.iir_lowpass_rows(r, cr, interpret=interp),
+            rows, crow)
+        return y.reshape(s.shape)
     xs = jnp.moveaxis(s, -1, 0)
 
     def step(h, sx):
@@ -150,11 +167,16 @@ def eq_threeband(s: jax.Array, lf, hf, g_lo, g_mid, g_hi) -> jax.Array:
          jnp.asarray(g_hi, jnp.int32))
     if _use_pallas():
         from ntsc_crt_tpu.ops.pallas import filters_pallas as fp
+        from ntsc_crt_tpu.parallel import spatial
         lead = s.shape[:-1]
         rows = s.reshape(-1, s.shape[-1])
         cs = [jnp.broadcast_to(x, lead).reshape(-1)
               for x in (lf, hf, g[0], g[1], g[2])]
-        return fp.eq_threeband_rows(rows, *cs).reshape(s.shape)
+        interp = _pallas_interpret()
+        y = spatial.shard_rows_call(
+            lambda r, *c5: fp.eq_threeband_rows(r, *c5, interpret=interp),
+            rows, *cs)
+        return y.reshape(s.shape)
     xs = jnp.moveaxis(s, -1, 0)
     zero = jnp.zeros_like(xs[0])
 

@@ -58,6 +58,47 @@ def active() -> bool:
     return _CTX.get() is not None
 
 
+def shard_rows_call(fn, *args):
+    """Run a row-independent kernel dispatch under the active spatial mesh.
+
+    `fn(*args)` must treat dim 0 of every argument and every output as an
+    independent "rows" dim (the flattened batch x scanline dim every Pallas
+    kernel in ops/pallas/ uses).  Outside a line_sharding context this is a
+    plain call.  Under one, rows are padded to a multiple of the device
+    count and `fn` runs per-shard via shard_map over the flattened
+    (data, spatial) axes — so the single-chip fused kernels keep running
+    when the line dim is sharded instead of falling back to the portable
+    scan path (VERDICT.md r2, next-round #3).  Padding rows is safe: every
+    kernel computes rows independently and the pad rows are sliced off.
+    """
+    mesh = _CTX.get()
+    if mesh is None:
+        return fn(*args)
+    import jax.numpy as jnp
+
+    n = mesh.shape[DATA_AXIS] * mesh.shape[SPATIAL_AXIS]
+    R = args[0].shape[0]
+    pad = (-R) % n
+    padded = [jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in args]
+    axes = (DATA_AXIS, SPATIAL_AXIS)
+    in_specs = tuple(P(axes, *([None] * (a.ndim - 1))) for a in padded)
+    out_shapes = jax.eval_shape(fn, *padded)
+    out_specs = jax.tree.map(
+        lambda s: P(axes, *([None] * (len(s.shape) - 1))), out_shapes)
+    # check_vma=False: pallas_call inside the body defeats the replication
+    # checker; correctness is covered by the sharded==unsharded parity tests
+    out = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)(*padded)
+    if _INSPECT is not None:
+        import functools
+        for t in jax.tree.leaves(out):
+            jax.debug.inspect_array_sharding(
+                t, callback=functools.partial(_INSPECT, "rows_kernel"))
+    if pad:
+        out = jax.tree.map(lambda o: o[:R], out)
+    return out
+
+
 def shard_lines(x: jax.Array, line_dim: int = 1, *, batch_dim: int = 0,
                 tag: str = ""):
     """Constrain dim `line_dim` of x onto the spatial axis (batch dim onto

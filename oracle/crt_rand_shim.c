@@ -22,3 +22,20 @@ void crt_oracle_srand(unsigned int seed)
 {
     crt_oracle_rand_state = seed;
 }
+
+/* Struct-layout pin: the Python-side ctypes mirrors (oracle.py) hard-code
+ * the field order of struct CRT / struct NTSC_SETTINGS; a silent
+ * misalignment would corrupt every parity state assertion.  Export the
+ * compiled sizes so Oracle.__init__ can assert ctypes.sizeof == C sizeof
+ * (VERDICT.md r2, weak #7). */
+#include "crt_core.h"
+
+unsigned long crt_oracle_sizeof_crt(void)
+{
+    return (unsigned long)sizeof(struct CRT);
+}
+
+unsigned long crt_oracle_sizeof_settings(void)
+{
+    return (unsigned long)sizeof(struct NTSC_SETTINGS);
+}

@@ -92,7 +92,7 @@ def build_oracle(system: str, defines: dict[str, object] | None = None) -> Path:
     srcs = [str(src_dir / s) for s in _ENCODER_SOURCES]
     cmd = [
         "gcc", "-O2", "-fPIC", "-shared", "-fwrapv",
-        f"-DCRT_SYSTEM={sysid}",
+        f"-DCRT_SYSTEM={sysid}", f"-I{src_dir}",
         "-Drand=crt_oracle_rand", "-Dsrand=crt_oracle_srand",
         "-o", str(so), *srcs, str(shim),
     ]
@@ -167,6 +167,17 @@ class Oracle:
         self.lib = ctypes.CDLL(str(build_oracle(system, defines)))
         self.CRT = _crt_struct(self.cfg)
         self.SETTINGS = _settings_struct(system)
+        # layout pin: the positional ctypes mirrors must match the compiled
+        # struct sizes exactly, else every state assertion silently drifts
+        self.lib.crt_oracle_sizeof_crt.restype = ctypes.c_ulong
+        self.lib.crt_oracle_sizeof_settings.restype = ctypes.c_ulong
+        c_sz = self.lib.crt_oracle_sizeof_crt()
+        assert ctypes.sizeof(self.CRT) == c_sz, \
+            f"struct CRT mirror {ctypes.sizeof(self.CRT)} != compiled {c_sz}"
+        s_sz = self.lib.crt_oracle_sizeof_settings()
+        assert ctypes.sizeof(self.SETTINGS) == s_sz, \
+            (f"NTSC_SETTINGS mirror {ctypes.sizeof(self.SETTINGS)} != "
+             f"compiled {s_sz}")
         self.bpp = 3 if fmt in (FMT_RGB, FMT_BGR) else 4
         self.outw, self.outh, self.fmt = outw, outh, fmt
         self.outbuf = np.zeros(outh * outw * self.bpp, dtype=np.uint8)

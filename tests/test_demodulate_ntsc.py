@@ -72,6 +72,34 @@ def test_cli_accumulation_loop(noise):
     np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf)
 
 
+@pytest.mark.parametrize("outh,scanlines", [(720, 1), (720, 2), (240, 0)])
+def test_interlace_at_other_repeat_ratios(outh, scanlines):
+    """outh = 3*L and 1*L exercise the stacked uniform placement at ratio
+    != 2: the odd-field bottom clip (crt_core.c:432 end=outh) makes the last
+    group's duplicate range shrink — a ratio>=3 + scanlines>=1 regression
+    shipped in round 2 (ADVICE.md r2 #2 / the kL fix in demodulate.py)."""
+    orc = Oracle("NTSC", outw=640, outh=outh)
+    orc.crt.scanlines = scanlines
+    img = _img(11)
+
+    st = pipeline.crt_init(NTSC, 640, outh)
+    mon = MonitorParams(scanlines=jnp.int32(scanlines))
+    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
+        NTSC, s, im, field=fi, frame=fr, noise=0, mon=mon))
+
+    field, frame = 0, 0
+    for n in range(4):
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=0)
+        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        np.testing.assert_array_equal(
+            np.asarray(st.out), ref,
+            err_msg=f"frame {n} field {field} {_oracle_state(orc)}")
+        field ^= 1
+        if n == 1:
+            frame ^= 1
+
+
 def test_monitor_knobs():
     orc = Oracle("NTSC", outw=400, outh=300)
     orc.crt.hue = 33

@@ -82,20 +82,26 @@ def test_nes_square_sum4_exhaustive():
     np.testing.assert_array_equal(want, got)
 
 
+@pytest.mark.parametrize("ratio", [1, 2, 3])
 @pytest.mark.parametrize("blend,scanlines", [(0, 0), (0, 1), (1, 0), (1, 1)])
-def test_place_rows_uniform_matches_general(blend, scanlines):
+def test_place_rows_uniform_matches_general(blend, scanlines, ratio):
     """The stacked fast-path placement is bit-identical to the general
-    one-hot-select placement for the uniform geometry (outh == ratio*L)."""
+    one-hot-select placement for the uniform geometry (outh == ratio*L) —
+    across repeat factors, covering the j<fp / j>=fp slot split at ratio>=3
+    and the degenerate single-slot ratio=1 (ADVICE.md r2 #2)."""
     from ntsc_crt_tpu.models import demodulate as dem
     from ntsc_crt_tpu.models.systems import SYSTEMS
 
     cfg = SYSTEMS["NTSC"]
-    rng = np.random.RandomState(blend * 2 + scanlines)
-    B, L, w, ratio = 5, cfg.lines, 64, 2
+    if scanlines >= ratio:
+        pytest.skip("outside the uniform gate (demodulate.py: sl < ratio)")
+    rng = np.random.RandomState(blend * 2 + scanlines + 7 * ratio)
+    B, L, w = 5, cfg.lines, 64
     outh = ratio * L
     rgb = rng.randint(0, 256, (B, L, w, 3)).astype(np.uint8)
     old = rng.randint(0, 256, (B, outh, w, 3)).astype(np.uint8)
-    field_px = jnp.asarray(np.array([0, 1, 0, 1, 1], np.int32))
+    # product contract (demodulate.py:516): field_px = field * (ratio // 2)
+    field_px = jnp.asarray(np.array([0, 1, 0, 1, 1], np.int32) * (ratio // 2))
 
     # general-path inputs: per-line begs exactly ratio*l + field_px
     lrel = jnp.arange(L, dtype=jnp.int32)[None, :]

@@ -2,6 +2,10 @@
 mesh must produce bit-identical results to the unsharded batched step, for
 both 1D (data) and 2D (data x spatial) meshes; state stays sharded."""
 
+import os
+import sys
+from pathlib import Path
+
 import numpy as np
 import pytest
 import jax
@@ -79,6 +83,48 @@ def test_spatial_axis_actually_partitions_lines():
         assert recorded[tag].shard_shape(shape)[0] == B // 4
 
 
+def test_sharded_step_with_forced_kernels_matches_portable(monkeypatch):
+    """The Pallas fast path must SURVIVE spatial line-sharding (VERDICT.md r2
+    next-round #3): with NTSC_CRT_FORCE_PALLAS=1 (interpret mode on CPU) the
+    fused kernels run per-shard via shard_map, and the sharded result is
+    bit-identical to the portable unsharded step.  Also asserts the kernel
+    dispatches actually executed under the sharded trace (rows_kernel tag)
+    with the rows dim partitioned over all 8 devices."""
+    from ntsc_crt_tpu.parallel import spatial
+
+    B = 8
+    imgs = jnp.asarray(_imgs(B))
+    z = jnp.zeros((B,), jnp.int32)
+    fields = jnp.asarray(np.arange(B) % 2, jnp.int32)
+
+    monkeypatch.delenv("NTSC_CRT_FORCE_PALLAS", raising=False)
+    ref_states = pmesh.init_batch(NTSC, B, 128, 96)
+    ref_step = pmesh.make_batched_step(NTSC, noise=9, donate=False)
+    ref = ref_step(ref_states, imgs, fields, z, z)
+
+    monkeypatch.setenv("NTSC_CRT_FORCE_PALLAS", "1")
+    mesh = pmesh.make_mesh(4, 2)
+    recorded = []
+    spatial._INSPECT = lambda tag, sh: recorded.append((tag, sh))
+    try:
+        states = pmesh.init_batch(NTSC, B, 128, 96, mesh=mesh)
+        step = pmesh.make_sharded_step(NTSC, mesh, noise=9)
+        out = step(states, imgs, fields, z, z)
+        jax.block_until_ready(out)
+    finally:
+        spatial._INSPECT = None
+
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    kernel_outs = [sh for tag, sh in recorded if tag == "rows_kernel"]
+    assert kernel_outs, "no rows-kernel dispatch traced under sharding"
+    for sh in kernel_outs:
+        # every kernel output's rows dim is split over all 8 devices
+        assert sh.num_devices == 8
+        assert not sh.is_fully_replicated
+
+
 def test_multichip_dryrun_entrypoints():
     import __graft_entry__ as g
     fn, args = g.entry()
@@ -86,3 +132,38 @@ def test_multichip_dryrun_entrypoints():
     assert out.out.shape == (480, 640, 3)
     g.dryrun_multichip(8)
     g.dryrun_multichip(2)
+
+
+def test_dryrun_hermetic_under_driver_env():
+    """Model the DRIVER environment, not conftest's: a subprocess where jax
+    initializes on its default platform (TPU under axon) with 8 forced host
+    devices, then calls dryrun_multichip(8).  Two rounds of red
+    MULTICHIP_r*.json artifacts shipped with a green suite because every CI
+    test ran under forced-CPU jax (VERDICT.md r2 weak #2).  Also assert the
+    in-process shortcut is refused whenever default_backend != cpu, so the
+    body can never eagerly allocate on a (possibly broken) accelerator."""
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count=8".strip())
+    code = (
+        "import jax\n"
+        "import __graft_entry__ as g\n"
+        "assert len(jax.devices('cpu')) >= 8\n"
+        "import unittest.mock as m\n"
+        "if jax.default_backend() != 'cpu':\n"
+        "    # non-CPU default: the in-process body must NOT be called\n"
+        "    with m.patch.object(g, '_dryrun_body',\n"
+        "                        side_effect=AssertionError('in-process')):\n"
+        "        g.dryrun_multichip(8)\n"
+        "else:\n"
+        "    g.dryrun_multichip(8)\n"
+        "print('HERMETIC_OK', jax.default_backend())\n"
+    )
+    repo = str(Path(__file__).resolve().parent.parent)
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "HERMETIC_OK" in r.stdout
