@@ -46,6 +46,8 @@ class LiveSession:
     field: int = 0
     frame: int = 0
     dot_crawl_offset: int = 0
+    v_fac: int = 0               # vertical stretch (crt_core.h:86); static —
+    #                              set at construction like outw/outh
 
     def __post_init__(self):
         self.state = pipeline.crt_init(self.cfg, self.outw, self.outh)
@@ -78,7 +80,8 @@ class LiveSession:
         state = state._replace(out=out_prev)
         return pipeline.step(self.cfg, state, img, field=field, frame=frame,
                              hue=hue, noise=noise, mon=mon, as_color=as_color,
-                             raw=raw, dot_crawl_offset=dco)
+                             raw=raw, dot_crawl_offset=dco,
+                             v_fac=self.v_fac)
 
     def tick(self, img) -> np.ndarray:
         """One display frame (displaycb, crt_main.c:454-497).
@@ -130,7 +133,7 @@ class LiveSession:
         state = pipeline.step(self.cfg, state, imgj, field=field, frame=frame,
                               hue=knobs[9], noise=knobs[10], mon=mon,
                               as_color=knobs[11], raw=raw,
-                              dot_crawl_offset=dco)
+                              dot_crawl_offset=dco, v_fac=self.v_fac)
         if not (progressive or self.cfg.progressive):
             field = field ^ 1                 # crt_main.c:492-494
         loop = jnp.stack([field, frame, dco])

@@ -2,9 +2,12 @@
 (crt_main.c:37-283) and `ntsc_video` batch converter
 (extra/video_convert.c:149-281).
 
-    ntsc [-s SYSTEM] [--fmt FMT] \\
+    ntsc [-s SYSTEM] [--fmt FMT] [--vfac N] \\
          -m|o|f|p|r|h|a outwidth outheight noise artifact_hue infile outfile
-    ntsc-video [-s system] [-a] [-l scanlines] [-p] nframes framedir outdir
+    ntsc-video [-s system] [-a] [-l scanlines] [-p] [--vfac N] \\
+               nframes framedir outdir
+
+--vfac sets the vertical stretch factor (struct CRT v_fac, crt_core.h:86).
 
 The image-convert driver accumulates 4 frames with blend=1 scanlines=1,
 toggling field/frame parity for interlace (crt_main.c:235-255).
@@ -26,14 +29,15 @@ from pathlib import Path
 import numpy as np
 
 
-def _build_step(cfg, outw, outh, noise, mon, *, as_color=1, raw=False):
+def _build_step(cfg, outw, outh, noise, mon, *, as_color=1, raw=False,
+                v_fac=0):
     import jax
     from ntsc_crt_tpu.models import pipeline
 
     def fn(state, img, field, frame, dco, hue):
         return pipeline.step(cfg, state, img, field=field, frame=frame,
                              hue=hue, noise=noise, mon=mon, as_color=as_color,
-                             raw=raw, dot_crawl_offset=dco)
+                             raw=raw, dot_crawl_offset=dco, v_fac=v_fac)
 
     return jax.jit(fn)
 
@@ -41,14 +45,16 @@ def _build_step(cfg, outw, outh, noise, mon, *, as_color=1, raw=False):
 def main(argv=None):
     argv = list(argv) if argv is not None else sys.argv[1:]
 
-    system, fmt_name = "NTSC", "rgb"
-    for opt in ("-s", "--fmt"):
+    system, fmt_name, v_fac = "NTSC", "rgb", 0
+    for opt in ("-s", "--fmt", "--vfac"):
         if opt in argv:
             i = argv.index(opt)
             val = argv[i + 1]
             del argv[i:i + 2]
             if opt == "-s":
                 system = val.upper()
+            elif opt == "--vfac":
+                v_fac = int(val)    # vertical stretch, crt_core.h:86
             else:
                 fmt_name = val.lower()
     if system == "NES":
@@ -94,7 +100,8 @@ def main(argv=None):
     mon = MonitorParams(blend=np.int32(1), scanlines=np.int32(1))
     state = pipeline.crt_init(cfg, outw, outh)
     step = _build_step(cfg, outw, outh, np.int32(noise), mon,
-                       as_color=np.int32(1 if docolor else 0), raw=raw)
+                       as_color=np.int32(1 if docolor else 0), raw=raw,
+                       v_fac=v_fac)
 
     imgj = jnp.asarray(img)
     frame = 0
@@ -141,13 +148,17 @@ def video_main(argv=None):
     ap.add_argument("-n", "--noise", type=int, default=24)
     ap.add_argument("-W", "--outw", type=int, default=640)
     ap.add_argument("-H", "--outh", type=int, default=480)
+    ap.add_argument("--vfac", type=int, default=0,
+                    help="vertical stretch factor (crt_core.h:86)")
     args = ap.parse_args(argv)
+
+    import concurrent.futures as cf
 
     import jax.numpy as jnp
     from ntsc_crt_tpu.models.systems import SYSTEMS
     from ntsc_crt_tpu.models import pipeline
     from ntsc_crt_tpu.models.demodulate import MonitorParams
-    from ntsc_crt_tpu.utils import imageio
+    from ntsc_crt_tpu.utils import imageio, native_io
 
     cfg = SYSTEMS[args.system.upper()]
     mon = MonitorParams(blend=np.int32(0),
@@ -161,26 +172,63 @@ def video_main(argv=None):
         return pipeline.step(cfg, state, img, field=field, frame=frame,
                              noise=np.int32(args.noise), mon=mon,
                              dot_crawl_offset=dco,
-                             do_aberration=np.int32(1 if args.aberration else 0))
+                             do_aberration=np.int32(1 if args.aberration else 0),
+                             v_fac=args.vfac)
 
     stepfn = jax.jit(stepfn)
 
     Path(args.outdir).mkdir(exist_ok=True)
-    field = frame = 0
-    for i in range(args.nframes):
+
+    def src_path(i):
         src = Path(args.framedir) / f"{i:06d}.bmp"
-        if not src.exists():
-            src = Path(args.framedir) / f"{i:06d}.ppm"
-        img = imageio.read_image(src)
-        state = stepfn(state, jnp.asarray(img), np.int32(field),
-                       np.int32(frame), np.int32(i % max(cfg.cc_vper, 1)))
-        if not (args.progressive or cfg.progressive):
-            field ^= 1
-            if (i & 1) == 0:
-                frame ^= 1
-        imageio.write_image(Path(args.outdir) / f"{i:06d}.bmp",
-                            np.asarray(state.out))
-        print(f"frame {i + 1} / {args.nframes}")
+        return src if src.exists() else Path(args.framedir) / f"{i:06d}.ppm"
+
+    # Pipelined I/O: the reference converter decodes, converts, and encodes
+    # strictly serially (extra/video_convert.c:246-277).  Here the threaded
+    # native codec (native/frameio.cpp, imageio fallback inside) prefetches
+    # the NEXT chunk of frames and writes the previous chunk's results while
+    # the device runs the current chunk — frame order, state threading, and
+    # output bytes are identical to the serial loop (test_video.py).
+    CHUNK = 8
+    if args.nframes <= 0:
+        return 0
+    probe = imageio.read_image(src_path(0))          # frame geometry for the
+    fh, fw = probe.shape[0], probe.shape[1]          # native batch decoder
+    chunks = [list(range(b, min(b + CHUNK, args.nframes)))
+              for b in range(0, args.nframes, CHUNK)]
+    reader = cf.ThreadPoolExecutor(1)
+    writer = cf.ThreadPoolExecutor(1)
+
+    def read_chunk(idxs):
+        return native_io.read_batch([src_path(i) for i in idxs], fh, fw)
+
+    fut = reader.submit(read_chunk, chunks[0])
+    pending = None
+    field = frame = 0
+    for ci, idxs in enumerate(chunks):
+        imgs = fut.result()
+        if ci + 1 < len(chunks):
+            fut = reader.submit(read_chunk, chunks[ci + 1])
+        outs = []
+        for k, i in enumerate(idxs):
+            state = stepfn(state, jnp.asarray(imgs[k]), np.int32(field),
+                           np.int32(frame), np.int32(i % max(cfg.cc_vper, 1)))
+            outs.append(state.out)
+            if not (args.progressive or cfg.progressive):
+                field ^= 1
+                if (i & 1) == 0:
+                    frame ^= 1
+            print(f"frame {i + 1} / {args.nframes}")
+        batch = np.stack([np.asarray(o) for o in outs])
+        if pending is not None:
+            pending.result()                         # surface write errors
+        pending = writer.submit(
+            native_io.write_batch,
+            [str(Path(args.outdir) / f"{i:06d}.bmp") for i in idxs], batch)
+    if pending is not None:
+        pending.result()
+    reader.shutdown()
+    writer.shutdown()
     print("ffmpeg -r 30 -i output/%06d.bmp -c:v libx264 out.mp4")
     return 0
 

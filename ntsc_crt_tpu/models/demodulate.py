@@ -171,7 +171,19 @@ def _inject_noise_vhs(cfg: SystemConfig, analog_flat, randstate, noise):
         m1 = (st2 >> 1) % np.uint32(20)
         return jnp.where(m1 >= tk, st3, st2), st         # emit ENTRY state
 
-    stC0, entB = lax.scan(stepB, stA, tkB, unroll=16)
+    if filters._use_pallas():
+        # in-register Pallas march: the XLA scan is dispatch-overhead-bound
+        # at ~33 ns/vector-op x ~6 ops x 19H steps (docs/PERF.md); the
+        # kernel runs the same uint32 recurrence with zero per-step overhead
+        from ntsc_crt_tpu.ops.pallas import vhs_scan as _vs
+        interp = filters._pallas_interpret()
+        entB = spatial.shard_batch_entries_call(
+            lambda s_: _vs.vhs_region_b_entries(
+                s_, n_steps=nB, H=H, interpret=interp), stA)
+        # region-C entry state = one more composed step from the last entry
+        stC0, _ = stepB(entB[-1], tkB[-1])
+    else:
+        stC0, entB = lax.scan(stepB, stA, tkB, unroll=16)
 
     # --- region C: exactly 3 calls/sample, closed form ---------------------
     apow3, csum3 = lcg._lcg_tables(3 * nC, lcg.RAND_A, lcg.RAND_B)

@@ -157,12 +157,14 @@ def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
          field=0, frame=0, hue=0, noise=0,
          mon: Optional[MonitorParams] = None,
          as_color=1, raw: bool = False,
-         dot_crawl_offset=0, do_aberration=0) -> CRTState:
+         dot_crawl_offset=0, do_aberration=0, v_fac: int = 0) -> CRTState:
     """modulate + demodulate: one full frame through the composite path.
 
     black_point/white_point live in the monitor state in the reference
     (crt_core.h:83) and are read by BOTH the encoder (crt_ntsc.c:311,318)
     and decoder (crt_core.c:305), so they come from `mon` here.
+    v_fac is the vertical stretch factor (crt_core.h:86) — a static
+    trace-time int like the output geometry.
     """
     mon = mon or MonitorParams()
     state = modulate(cfg, state, img, field=field, frame=frame, hue=hue,
@@ -170,4 +172,4 @@ def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
                      black_point=mon.black_point, white_point=mon.white_point,
                      raw=raw, dot_crawl_offset=dot_crawl_offset,
                      do_aberration=do_aberration)
-    return demodulate(cfg, state, noise=noise, mon=mon)
+    return demodulate(cfg, state, noise=noise, mon=mon, v_fac=v_fac)

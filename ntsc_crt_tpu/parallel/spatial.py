@@ -99,6 +99,24 @@ def shard_rows_call(fn, *args):
     return out
 
 
+def shard_batch_entries_call(fn, st):
+    """Run a batch-state scan kernel (st (B,) -> entries (T, B)) under the
+    active mesh: the batch dim rides `data` (padded to divisibility), the
+    time dim is replicated over `spatial`.  Plain call outside a context."""
+    mesh = _CTX.get()
+    if mesh is None:
+        return fn(st)
+    import jax.numpy as jnp
+    n = mesh.shape[DATA_AXIS]
+    B = st.shape[0]
+    pad = (-B) % n
+    stp = jnp.pad(st, (0, pad)) if pad else st
+    out = jax.shard_map(fn, mesh=mesh, in_specs=(P(DATA_AXIS),),
+                        out_specs=P(None, DATA_AXIS),
+                        check_vma=False)(stp)
+    return out[:, :B] if pad else out
+
+
 def shard_lines(x: jax.Array, line_dim: int = 1, *, batch_dim: int = 0,
                 tag: str = ""):
     """Constrain dim `line_dim` of x onto the spatial axis (batch dim onto

@@ -119,3 +119,37 @@ def test_monitor_knobs():
     st = jax.jit(lambda s, im: pipeline.step(NTSC, s, im, field=0, frame=0,
                                              noise=5, mon=mon))(st, jnp.asarray(img))
     np.testing.assert_array_equal(np.asarray(st.out), ref)
+
+
+@pytest.mark.parametrize("v_fac", [60, 240, 480])
+@pytest.mark.parametrize("blend,scanlines", [(0, 0), (1, 1)])
+def test_v_fac_vertical_stretch(v_fac, blend, scanlines):
+    """v_fac stretches beg/end row mapping (crt_core.h:86, crt_core.c:428-429)
+    while the odd-field shift still derives from outh alone
+    (crt_core.c:403-406) — oracle parity across 4 interlaced frames,
+    including outh+v_fac a multiple of CRT_LINES (the uniform-path gate's
+    risk regime, VERDICT.md r2 #6)."""
+    outw, outh = 320, 240
+    orc = Oracle("NTSC", outw=outw, outh=outh)
+    orc.crt.v_fac = v_fac
+    orc.crt.blend = blend
+    orc.crt.scanlines = scanlines
+    img = _img(13)
+
+    st = pipeline.crt_init(NTSC, outw, outh)
+    mon = MonitorParams(blend=jnp.int32(blend),
+                        scanlines=jnp.int32(scanlines))
+    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
+        NTSC, s, im, field=fi, frame=fr, noise=0, mon=mon, v_fac=v_fac))
+
+    field, frame = 0, 0
+    for n in range(4):
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=0)
+        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        np.testing.assert_array_equal(
+            np.asarray(st.out), ref,
+            err_msg=f"v_fac={v_fac} frame {n} {_oracle_state(orc)}")
+        field ^= 1
+        if n == 1:
+            frame ^= 1

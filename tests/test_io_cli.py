@@ -206,3 +206,65 @@ def test_analog_dump(tmp_path):
     # grayscale: all channels equal; sync tips visible as dark bands
     assert (sig[..., 0] == sig[..., 1]).all()
     assert sig[..., 0].min() < 100 < sig[..., 0].max()
+
+
+def test_native_bmp_writer_bytes_match_python(tmp_path):
+    """The native batch BMP encoder must produce byte-identical files to
+    imageio.bmp_write (same 32-bit container the video CLI always wrote) —
+    wiring native_io into ntsc-video must not change output bytes."""
+    from ntsc_crt_tpu.utils import native_io
+    if not native_io.available():
+        pytest.skip("native toolchain unavailable")
+    rgb = np.stack([_img(20, w=33, h=21), _img(21, w=33, h=21)])
+    native_io.write_batch([str(tmp_path / "n0.bmp"), str(tmp_path / "n1.bmp")],
+                          rgb)
+    for i in range(2):
+        imageio.bmp_write(tmp_path / f"p{i}.bmp", rgb[i])
+        nb = (tmp_path / f"n{i}.bmp").read_bytes()
+        pb = (tmp_path / f"p{i}.bmp").read_bytes()
+        assert nb == pb
+
+
+def test_video_cli_pipelined_matches_serial_loop(tmp_path):
+    """`ntsc-video` with the chunked prefetch/write-behind pipeline produces
+    byte-identical outputs to the plain serial step+imageio loop it replaced
+    (reference: extra/video_convert.c:246-277 is strictly serial)."""
+    import jax
+    import jax.numpy as jnp
+    from ntsc_crt_tpu import cli
+    from ntsc_crt_tpu.models.systems import SYSTEMS
+    from ntsc_crt_tpu.models import pipeline
+    from ntsc_crt_tpu.models.demodulate import MonitorParams
+
+    NF = 10  # > one CHUNK so the prefetch/write-behind seams are exercised
+    framedir = tmp_path / "frames"
+    outdir = tmp_path / "out"
+    framedir.mkdir()
+    for i in range(NF):
+        imageio.write_image(framedir / f"{i:06d}.bmp", _img(30 + i))
+
+    rc = cli.video_main(["-s", "NTSCVHS", "-W", "160", "-H", "120",
+                         str(NF), str(framedir), str(outdir)])
+    assert rc == 0
+
+    # serial reference loop with identical parameters
+    cfg = SYSTEMS["NTSCVHS"]
+    mon = MonitorParams(blend=np.int32(0), scanlines=np.int32(0),
+                        saturation=np.int32(10))
+    state = pipeline.crt_init(cfg, 160, 120)
+    step = jax.jit(lambda s, im, fi, fr, dc: pipeline.step(
+        cfg, s, im, field=fi, frame=fr, noise=np.int32(24), mon=mon,
+        dot_crawl_offset=dc, do_aberration=np.int32(0)))
+    field = frame = 0
+    for i in range(NF):
+        img = imageio.read_image(framedir / f"{i:06d}.bmp")
+        state = step(state, jnp.asarray(img), np.int32(field),
+                     np.int32(frame), np.int32(i % max(cfg.cc_vper, 1)))
+        if not cfg.progressive:
+            field ^= 1
+            if (i & 1) == 0:
+                frame ^= 1
+        ref = tmp_path / f"ref_{i:06d}.bmp"
+        imageio.bmp_write(ref, np.asarray(state.out))
+        assert (outdir / f"{i:06d}.bmp").read_bytes() == ref.read_bytes(), \
+            f"frame {i} diverged"

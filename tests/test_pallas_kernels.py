@@ -126,3 +126,33 @@ def test_encode_fused_matches_unfused(rng, cc):
         np.testing.assert_array_equal(got, np.clip(ire, 0, 110).astype(np.int8))
     finally:
         os.environ.pop("NTSC_CRT_FORCE_SCAN", None)
+
+
+def test_vhs_region_b_kernel_matches_scan(rng):
+    """The in-register region-B march (ops/pallas/vhs_scan.py) emits the
+    exact entry-state sequence of the lax.scan in _inject_noise_vhs."""
+    from jax import lax
+    from ntsc_crt_tpu.ops.pallas import vhs_scan
+    from ntsc_crt_tpu.ops import lcg
+
+    H, B = 910, 5
+    nB = 19 * H
+    A1, C1 = lcg.RAND_A, lcg.RAND_B
+    A2 = (A1 * A1) & 0xFFFFFFFF
+    C2 = (A1 * C1 + C1) & 0xFFFFFFFF
+    A3 = (A2 * A1) & 0xFFFFFFFF
+    C3 = (A1 * C2 + C1) & 0xFFFFFFFF
+    st0 = jnp.asarray(rng.randint(0, 2**32, B, dtype=np.uint64)
+                      .astype(np.uint32))
+    iB = np.arange(nB, dtype=np.int64)
+    tkB = jnp.asarray(((19 * H - 1 - iB) // H + 1).astype(np.uint32))
+
+    def stepB(st, tk):
+        st2 = st * np.uint32(A2) + np.uint32(C2)
+        st3 = st * np.uint32(A3) + np.uint32(C3)
+        m1 = (st2 >> 1) % np.uint32(20)
+        return jnp.where(m1 >= tk, st3, st2), st
+
+    _, ref = lax.scan(stepB, st0, tkB)
+    got = vhs_scan.vhs_region_b_entries(st0, n_steps=nB, H=H, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
