@@ -105,3 +105,46 @@ def test_odd_output_geometry():
     st = pipeline.crt_init(NTSC, 531, 377)
     st = pipeline.step(NTSC, st, jnp.asarray(img), field=1, frame=0, noise=3)
     np.testing.assert_array_equal(np.asarray(st.out), ref)
+
+
+def test_blend_small_outh_divergence_fixture():
+    """Pin documented divergence #2 (docs/PARITY.md): with blend=1 and
+    outh < CRT_LINES the reference blends a row against values written
+    earlier in the SAME call (each output row is hit by ~L/outh lines),
+    while the parallel placement resolves last-writer-wins against the
+    PREVIOUS frame.  Golden fixture pins both sides' full frames and the
+    divergence region's shape, so a regression inside the divergent regime
+    is caught rather than hidden (VERDICT.md r2 weak #5)."""
+    from pathlib import Path
+    outw, outh = 160, 120          # outh < CRT_LINES=240: 2 lines per row
+    orc = Oracle("NTSC", outw=outw, outh=outh)
+    orc.crt.blend = 1
+    img = _img(21, w=160, h=120)
+    from ntsc_crt_tpu.models.demodulate import MonitorParams
+    mon = MonitorParams(blend=jnp.int32(1))
+    st = pipeline.crt_init(NTSC, outw, outh)
+    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
+        NTSC, s, im, field=fi, frame=fr, noise=0, mon=mon))
+    field = frame = 0
+    for n in range(2):             # 2 frames so prev-frame blending engages
+        orc.modulate(img, field=field, frame=frame)
+        ref = orc.demodulate(noise=0)
+        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        field ^= 1
+    got = np.asarray(st.out)
+
+    fix_path = Path(__file__).parent / "fixtures" / "blend_small_outh.npz"
+    if not fix_path.exists():      # first run records the golden fixture
+        np.savez_compressed(fix_path, got=got, ref=ref)
+    fix = np.load(fix_path)
+    div_rows = np.where((got != ref).any(axis=(1, 2)))[0]
+    fix_div = np.where((fix["got"] != fix["ref"]).any(axis=(1, 2)))[0]
+    np.testing.assert_array_equal(div_rows, fix_div,
+                                  err_msg="divergence region moved")
+    np.testing.assert_array_equal(got, fix["got"],
+                                  err_msg="framework side changed")
+    np.testing.assert_array_equal(ref, fix["ref"],
+                                  err_msg="oracle side changed")
+    # sync state must be immune to the divergence (it precedes placement)
+    assert int(st.hsync) == orc.crt.hsync
+    assert int(st.vsync) == orc.crt.vsync
