@@ -189,14 +189,16 @@ def _bandlimit(cfg: SystemConfig, fy, fi, fq):
 
 
 
-def _encode_active_fused(cfg, fy, fi, fq, modI_rows, modQ_rows, gain, base,
+def _encode_active_fused(cfg, pix, modI_rows, modQ_rows, gain, base,
                          xo: int):
-    """Fused IIR+carrier+IRE kernel dispatch (ops/pallas/encode_fused.py).
-    fy/fi/fq: int32 (B, desth, destw) pre-bandlimit YIQ; modI/Q_rows:
+    """Fused RGB->YIQ + IIR + carrier + IRE kernel dispatch
+    (ops/pallas/encode_fused.py).  pix: (B, desth, destw, 3) resampled RGB
+    (any int dtype, values 0..255 — fed to the kernel as u8 planes so the
+    s32 YIQ and s16 convert intermediates never touch HBM); modI/Q_rows:
     int32 (B, desth, cc) per-row carrier tables (phase sign premultiplied,
     cc = 4 or 5); gain/base: int32 (B,).  Returns int8 (B, desth, destw)."""
     from ntsc_crt_tpu.ops.pallas import encode_fused as _ef
-    B, desth, destw = fy.shape
+    B, desth, destw = pix.shape[:3]
     cc = modI_rows.shape[-1]
     if cfg.do_bandlimiting:
         coefs = (filters.init_iir(cfg.l_freq, cfg.y_freq),
@@ -207,13 +209,14 @@ def _encode_active_fused(cfg, fy, fi, fq, modI_rows, modQ_rows, gain, base,
     R = B * desth
     interp = filters._pallas_interpret()
     xo_mod = xo % cc
+    pix8 = pix.astype(jnp.uint8)
     out = spatial.shard_rows_call(
-        lambda y_, i_, q_, mi_, mq_, g_, b_: _ef.encode_fused_rows(
-            y_, i_, q_, mi_, mq_, g_, b_, coefs=coefs, xo_mod=xo_mod,
-            interpret=interp),
-        fy.reshape(R, destw).astype(jnp.int16),
-        fi.reshape(R, destw).astype(jnp.int16),
-        fq.reshape(R, destw).astype(jnp.int16),
+        lambda r_, g8_, b8_, mi_, mq_, g_, b_: _ef.encode_fused_rows(
+            r_, g8_, b8_, mi_, mq_, g_, b_, coefs=coefs, xo_mod=xo_mod,
+            rgb=True, interpret=interp),
+        pix8[..., 0].reshape(R, destw),
+        pix8[..., 1].reshape(R, destw),
+        pix8[..., 2].reshape(R, destw),
         modI_rows.reshape(R, cc), modQ_rows.reshape(R, cc),
         jnp.broadcast_to(gain[:, None], (B, desth)).reshape(R),
         jnp.broadcast_to(base[:, None], (B, desth)).reshape(R))
@@ -344,19 +347,20 @@ def modulate_rgb(
     # C clamps sy to h (reads one row past the image, UB); we use last row
     sy = jnp.minimum(sy, h - 1)
     pix = _resample(cfg, img_u8, sy, destw)
-    fy, fi, fq = _rgb_to_yiq(pix)
-    fy = spatial.shard_lines(fy, 1, tag="enc_y")
 
     gain = cdiv(cfg.white_level * white_point, 100)
     base = cfg.black_level + black_point
     if filters._use_pallas():
+        pix = spatial.shard_lines(pix, 1, tag="enc_rgb")
         mi_rows = jnp.broadcast_to((ccmodI * ph[:, None])[:, None, :],
                                    (B, desth, CC))
         mq_rows = jnp.broadcast_to((ccmodQ * ph[:, None])[:, None, :],
                                    (B, desth, CC))
-        ire = _encode_active_fused(cfg, fy, fi, fq, mi_rows, mq_rows,
+        ire = _encode_active_fused(cfg, pix, mi_rows, mq_rows,
                                    gain, base, xo)
     else:
+        fy, fi, fq = _rgb_to_yiq(pix)
+        fy = spatial.shard_lines(fy, 1, tag="enc_y")
         if cfg.do_bandlimiting:
             fy, fi, fq = _bandlimit(cfg, fy, fi, fq)
         # xoff pattern is static (xo static): periodic with offset xo % CC
@@ -500,21 +504,22 @@ def modulate_vper(
         field_offset = jnp.zeros((B, 1), jnp.int32)      # SNES: field unused
     sy = jnp.minimum((y_idx * h) // desth + field_offset, h - 1)
     pix = _resample(cfg, img_u8, sy, destw)
-    fy, fi, fq = _rgb_to_yiq(pix)
-    fy = spatial.shard_lines(fy, 1, tag="enc_y")
 
     if filters._use_pallas():
+        pix = spatial.shard_lines(pix, 1, tag="enc_rgb")
         # per-row carrier tables selected by the line's vertical phase class
         phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
         mi_rows = jnp.take(ccmodI, phr, axis=1)          # (B, desth, CC)
         mq_rows = jnp.take(ccmodQ, phr, axis=1)
         gain = cdiv(cfg.white_level * white_point, 100)
         base = cfg.black_level + black_point
-        ire = _encode_active_fused(cfg, fy, fi, fq, mi_rows, mq_rows,
+        ire = _encode_active_fused(cfg, pix, mi_rows, mq_rows,
                                    gain, base, xo)
         analog = _store_active(analog, ire, xo, yo)
         return analog, ccf
 
+    fy, fi, fq = _rgb_to_yiq(pix)
+    fy = spatial.shard_lines(fy, 1, tag="enc_y")
     if cfg.do_bandlimiting:
         fy, fi, fq = _bandlimit(cfg, fy, fi, fq)
 
@@ -601,7 +606,6 @@ def modulate_nesrgb(
     sy = jnp.clip((y_idx * h) // desth, 0, h - 1)
     sy = jnp.broadcast_to(sy, (B, desth))
     pix = _resample(cfg, img_u8, sy, destw)
-    fy, fi, fq = _rgb_to_yiq(pix)
 
     if filters._use_pallas() and CC == 4:
         phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
@@ -609,10 +613,12 @@ def modulate_nesrgb(
         mq_rows = jnp.take(ccmodQ, phr, axis=1)
         gain = cdiv(cfg.white_level * white_point, 100)
         base = cfg.black_level + black_point
-        ire = _encode_active_fused(cfg, fy, fi, fq, mi_rows, mq_rows,
+        ire = _encode_active_fused(cfg, pix, mi_rows, mq_rows,
                                    gain, base, xo)
         analog = _store_active(analog, ire, xo, yo)
         return analog, ccf
+
+    fy, fi, fq = _rgb_to_yiq(pix)
 
     ph_row = (np.arange(desth, dtype=np.int64) + yo) % VP
     xoff = (np.arange(destw, dtype=np.int64) + xo) % CC

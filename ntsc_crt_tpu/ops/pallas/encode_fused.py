@@ -32,7 +32,7 @@ def _chunk(cc: int) -> int:
     return 32 if cc == 4 else 40
 
 
-def _make_kernel(T, coefs, xo_mod, cc):
+def _make_kernel(T, coefs, xo_mod, cc, rgb):
     K = _chunk(cc)
     def kernel(fy_ref, fi_ref, fq_ref, mi_ref, mq_ref, gain_ref, base_ref,
                out_ref):
@@ -47,9 +47,21 @@ def _make_kernel(T, coefs, xo_mod, cc):
             rq = fq_ref[pl.ds(tb * K, K)]
             outs = []
             for j in range(K):
-                sy = ry[j].astype(jnp.int32)
-                si = ri[j].astype(jnp.int32)
-                sq = rq[j].astype(jnp.int32)
+                if rgb:
+                    # refs carry the resampled R/G/B u8 planes; RGB->YIQ
+                    # happens in-register (crt_ntsc.c:307-310) — skipping
+                    # the s32 YIQ + s16 convert HBM intermediates that were
+                    # the 2nd-largest kernel in the PV1K step profile
+                    rA = ry[j].astype(jnp.int32)
+                    gA = ri[j].astype(jnp.int32)
+                    bA = rq[j].astype(jnp.int32)
+                    sy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
+                    si = (39059 * rA - 18022 * gA - 21103 * bA) >> 14
+                    sq = (13894 * rA - 34275 * gA + 20382 * bA) >> 14
+                else:
+                    sy = ry[j].astype(jnp.int32)
+                    si = ri[j].astype(jnp.int32)
+                    sq = rq[j].astype(jnp.int32)
                 if coefs is not None:
                     cY, cI, cQ = coefs
                     hy = hy + (((sy - hy) * cY) >> EXP_P)  # crt_ntsc.c:117-126
@@ -72,13 +84,15 @@ def _make_kernel(T, coefs, xo_mod, cc):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("coefs", "xo_mod", "interpret"))
+                   static_argnames=("coefs", "xo_mod", "rgb", "interpret"))
 def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
-                      coefs, xo_mod: int, interpret: bool = False):
-    """fy/fi/fq: int16 (R, T) YIQ; modI/modQ: int32 (R, cc) carrier tables
-    (premultiplied by any phase sign, cc = 4 or 5 chroma samples); gain/base:
-    int32 (R,).  coefs: (cY, cI, cQ) python ints or None.  xo_mod: static
-    (xo % cc).  Returns clamped IRE int8 (R, T)."""
+                      coefs, xo_mod: int, rgb: bool = False,
+                      interpret: bool = False):
+    """fy/fi/fq: int16 (R, T) YIQ — or, with rgb=True, the uint8 R/G/B
+    planes (RGB->YIQ runs in-kernel); modI/modQ: int32 (R, cc) carrier
+    tables (premultiplied by any phase sign, cc = 4 or 5 chroma samples);
+    gain/base: int32 (R,).  coefs: (cY, cI, cQ) python ints or None.
+    xo_mod: static (xo % cc).  Returns clamped IRE int8 (R, T)."""
     R, T = fy.shape
     cc = modI.shape[-1]
     K = _chunk(cc)
@@ -91,18 +105,19 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
         xp = jnp.zeros((Rp, n), dtype).at[:R].set(x.reshape(R, n).astype(dtype))
         return xp.T.reshape(n, RB, SUB, LANE).swapaxes(0, 1)
 
-    fyt = tiles(jnp.pad(jnp.asarray(fy, jnp.int16), ((0, 0), (0, Tp - T))),
-                Tp, jnp.int16)
-    fit = tiles(jnp.pad(jnp.asarray(fi, jnp.int16), ((0, 0), (0, Tp - T))),
-                Tp, jnp.int16)
-    fqt = tiles(jnp.pad(jnp.asarray(fq, jnp.int16), ((0, 0), (0, Tp - T))),
-                Tp, jnp.int16)
+    in_dt = jnp.uint8 if rgb else jnp.int16
+    fyt = tiles(jnp.pad(jnp.asarray(fy, in_dt), ((0, 0), (0, Tp - T))),
+                Tp, in_dt)
+    fit = tiles(jnp.pad(jnp.asarray(fi, in_dt), ((0, 0), (0, Tp - T))),
+                Tp, in_dt)
+    fqt = tiles(jnp.pad(jnp.asarray(fq, in_dt), ((0, 0), (0, Tp - T))),
+                Tp, in_dt)
     mi = tiles(modI, cc, jnp.int32)
     mq = tiles(modQ, cc, jnp.int32)
     g = tiles(gain, 1, jnp.int32)
     b = tiles(base, 1, jnp.int32)
 
-    kern = _make_kernel(Tp, coefs, xo_mod, cc)
+    kern = _make_kernel(Tp, coefs, xo_mod, cc, rgb)
 
     def body(*refs):
         f1, f2, f3, m1, m2, gg, bb, out = refs

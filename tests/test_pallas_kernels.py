@@ -156,3 +156,32 @@ def test_vhs_region_b_kernel_matches_scan(rng):
     _, ref = lax.scan(stepB, st0, tkB)
     got = vhs_scan.vhs_region_b_entries(st0, n_steps=nB, H=H, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("cc", [4, 5])
+def test_encode_fused_rgb_mode_matches_host_yiq(rng, cc):
+    """rgb=True computes RGB->YIQ in-kernel (crt_ntsc.c:307-310) — must
+    equal feeding the host-computed YIQ through the int16 mode."""
+    from ntsc_crt_tpu.ops.pallas import encode_fused as ef
+    from ntsc_crt_tpu.models.modulate import _rgb_to_yiq
+    r8 = jnp.asarray(rng.randint(0, 256, (R, T), dtype=np.uint8))
+    g8 = jnp.asarray(rng.randint(0, 256, (R, T), dtype=np.uint8))
+    b8 = jnp.asarray(rng.randint(0, 256, (R, T), dtype=np.uint8))
+    modI = jnp.asarray(rng.randint(-32, 33, (R, cc), dtype=np.int32))
+    modQ = jnp.asarray(rng.randint(-32, 33, (R, cc), dtype=np.int32))
+    gain = jnp.full((R,), 100, jnp.int32)
+    base = jnp.full((R,), 7, jnp.int32)
+    cY = filters.init_iir(cfg.l_freq, cfg.y_freq)
+    cI = filters.init_iir(cfg.l_freq, cfg.i_freq)
+    cQ = filters.init_iir(cfg.l_freq, cfg.q_freq)
+    got = np.asarray(ef.encode_fused_rows(
+        r8, g8, b8, modI, modQ, gain, base,
+        coefs=(cY, cI, cQ), xo_mod=1, rgb=True, interpret=True))
+
+    pix = jnp.stack([r8, g8, b8], axis=-1).astype(jnp.int32)
+    fy, fi, fq = _rgb_to_yiq(pix)
+    want = np.asarray(ef.encode_fused_rows(
+        fy.astype(jnp.int16), fi.astype(jnp.int16), fq.astype(jnp.int16),
+        modI, modQ, gain, base,
+        coefs=(cY, cI, cQ), xo_mod=1, interpret=True))
+    np.testing.assert_array_equal(got, want)
