@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
 
 from ntsc_crt_tpu.ops.filters import EQ_P, EQ_R
 from ntsc_crt_tpu.ops.fastpath import lerp_resample_weights
@@ -121,16 +122,19 @@ def decode_fused_rows(sig, waveI, waveQ, bright, contrast, *, outw: int,
     s, L, Rw = lerp_resample_weights(T, outw)
     smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
 
-    rows_blk = SUB * LANE
+    # small-batch (live/60 Hz) runs pad R=240 rows up to a full 1024-row
+    # block otherwise — shrink the block height to the rows that exist
+    sub = shrink_sub(R, SUB, LANE)
+    rows_blk = sub * LANE
     Rp = -(-R // rows_blk) * rows_blk
     RB = Rp // rows_blk
 
     sigp = jnp.zeros((Rp, Tp), jnp.int8).at[:R, :T].set(sig)
-    sigT = sigp.T.reshape(Tp, RB, SUB, LANE).swapaxes(0, 1)
+    sigT = sigp.T.reshape(Tp, RB, sub, LANE).swapaxes(0, 1)
 
     def vec(x, n):
         xp = jnp.zeros((Rp, n), jnp.int32).at[:R].set(x.reshape(R, n))
-        return xp.T.reshape(n, RB, SUB, LANE).swapaxes(0, 1)
+        return xp.T.reshape(n, RB, sub, LANE).swapaxes(0, 1)
 
     wvi = vec(waveI, cc)
     wvq = vec(waveQ, cc)
@@ -144,18 +148,18 @@ def decode_fused_rows(sig, waveI, waveQ, bright, contrast, *, outw: int,
         kern(sig_r.at[0], wvi_r.at[0], wvq_r.at[0], br_r.at[0], ct_r.at[0],
              r_r.at[0], g_r.at[0], b_r.at[0], oys, ois, oqs)
 
-    ospec = pl.BlockSpec((1, outw, SUB, LANE), lambda i: (i, 0, 0, 0),
+    ospec = pl.BlockSpec((1, outw, sub, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    spec = lambda n: pl.BlockSpec((1, n, SUB, LANE), lambda i: (i, 0, 0, 0),
+    spec = lambda n: pl.BlockSpec((1, n, sub, LANE), lambda i: (i, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
     r8, g8, b8 = pl.pallas_call(
         body,
         grid=(RB,),
         in_specs=[spec(Tp), spec(cc), spec(cc), spec(1), spec(1)],
         out_specs=(ospec, ospec, ospec),
-        out_shape=tuple(jax.ShapeDtypeStruct((RB, outw, SUB, LANE), jnp.uint8)
+        out_shape=tuple(jax.ShapeDtypeStruct((RB, outw, sub, LANE), jnp.uint8)
                         for _ in range(3)),
-        scratch_shapes=[pltpu.VMEM((Tp + 1, SUB, LANE), jnp.int32)] * 3,
+        scratch_shapes=[pltpu.VMEM((Tp + 1, sub, LANE), jnp.int32)] * 3,
         compiler_params=pltpu.CompilerParams(
             # PV1K's 1520-wide scratch needs ~29 MB; keep the narrower
             # systems at the measured-best default headroom

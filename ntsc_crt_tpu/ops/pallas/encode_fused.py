@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
 
 from ntsc_crt_tpu.ops.fixedpoint import EXP_P
 
@@ -97,13 +98,15 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
     cc = modI.shape[-1]
     K = _chunk(cc)
     Tp = -(-T // K) * K
-    rows_blk = SUB * LANE
+    # shrink the block height when R is small (batch-1 live runs: 236 rows)
+    sub = shrink_sub(R, SUB, LANE)
+    rows_blk = sub * LANE
     Rp = -(-R // rows_blk) * rows_blk
     RB = Rp // rows_blk
 
     def tiles(x, n, dtype):
         xp = jnp.zeros((Rp, n), dtype).at[:R].set(x.reshape(R, n).astype(dtype))
-        return xp.T.reshape(n, RB, SUB, LANE).swapaxes(0, 1)
+        return xp.T.reshape(n, RB, sub, LANE).swapaxes(0, 1)
 
     in_dt = jnp.uint8 if rgb else jnp.int16
     fyt = tiles(jnp.pad(jnp.asarray(fy, in_dt), ((0, 0), (0, Tp - T))),
@@ -124,14 +127,14 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
         kern(f1.at[0], f2.at[0], f3.at[0], m1.at[0], m2.at[0],
              gg.at[0], bb.at[0], out.at[0])
 
-    spec = lambda n: pl.BlockSpec((1, n, SUB, LANE), lambda i: (i, 0, 0, 0),
+    spec = lambda n: pl.BlockSpec((1, n, sub, LANE), lambda i: (i, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         body,
         grid=(RB,),
         in_specs=[spec(Tp)] * 3 + [spec(cc)] * 2 + [spec(1)] * 2,
         out_specs=spec(Tp),
-        out_shape=jax.ShapeDtypeStruct((RB, Tp, SUB, LANE), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((RB, Tp, sub, LANE), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             # PV1K rows are 1520 wide (~18 MB scoped); default elsewhere
             vmem_limit_bytes=(28 if Tp > 1024 else 16) * 1024 * 1024),

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
 
 from ntsc_crt_tpu.ops.filters import EQ_P, EQ_R
 from ntsc_crt_tpu.ops.fixedpoint import EXP_P
@@ -117,6 +118,7 @@ def _run_rowwise(kernel, n_state: int, x_rows: jax.Array,
     2D-grid pallas_call, and slices the result back.
     """
     R, T = x_rows.shape
+    sub = shrink_sub(R, sub, LANE)  # shrink block height for small-batch runs
     rows_blk = sub * LANE
     assert t_block % k == 0
     Rp = -(-R // rows_blk) * rows_blk

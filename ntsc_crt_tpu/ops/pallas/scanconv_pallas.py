@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
 
 from ntsc_crt_tpu.ops.fastpath import lerp_resample_weights
 
@@ -54,19 +55,21 @@ def scanconv_rows(oy, oi, oq, contrast, *, outw: int, interpret: bool = False):
     s, L, Rw = lerp_resample_weights(T, outw)
     smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
 
-    rows_blk = SUB * LANE
+    # shrink the block height when R is small (batch-1 live runs)
+    sub = shrink_sub(R, SUB, LANE)
+    rows_blk = sub * LANE
     Rp = -(-R // rows_blk) * rows_blk
 
     def to_tiles(x):
         xp = jnp.zeros((Rp, T), jnp.int32).at[:R].set(x)
         # (RB, T+1, S, 128): one zero row appended so s+1 at T-1 is in range
-        t = xp.T.reshape(T, Rp // rows_blk, SUB, LANE).swapaxes(0, 1)
-        pad = jnp.zeros((Rp // rows_blk, 1, SUB, LANE), jnp.int32)
+        t = xp.T.reshape(T, Rp // rows_blk, sub, LANE).swapaxes(0, 1)
+        pad = jnp.zeros((Rp // rows_blk, 1, sub, LANE), jnp.int32)
         return jnp.concatenate([t, pad], axis=1)
 
     oyt, oit, oqt = to_tiles(oy), to_tiles(oi), to_tiles(oq)
     ct = jnp.zeros((Rp,), jnp.int32).at[:R].set(contrast)
-    ct = ct.reshape(Rp // rows_blk, 1, SUB, LANE)
+    ct = ct.reshape(Rp // rows_blk, 1, sub, LANE)
 
     def body(*refs):
         oy_r, oi_r, oq_r, ct_r, out_r = refs
@@ -76,13 +79,13 @@ def scanconv_rows(oy, oi, oq, contrast, *, outw: int, interpret: bool = False):
     out = pl.pallas_call(
         body,
         grid=(Rp // rows_blk,),
-        in_specs=[pl.BlockSpec((1, T + 1, SUB, LANE), lambda i: (i, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, T + 1, sub, LANE), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)] * 3 +
-                 [pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
+                 [pl.BlockSpec((1, 1, sub, LANE), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, outw, SUB, LANE), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, outw, sub, LANE), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp // rows_blk, outw, SUB, LANE),
+        out_shape=jax.ShapeDtypeStruct((Rp // rows_blk, outw, sub, LANE),
                                        jnp.int32),
         interpret=interpret,
     )(oyt, oit, oqt, ct)
