@@ -558,6 +558,40 @@ def demodulate_core(
     rolled = fastpath.select_rows_batched(inp2d, row_idx)  # (B, L+1, H)
     rows_ext = jnp.concatenate([rolled[:, :L], rolled[:, 1:]], axis=2)
     rows_ext = spatial.shard_lines(rows_ext, 1, tag="rows_ext")
+
+    # --- fused fast path: per-line alignment + EQ + scan conversion in one
+    # Pallas kernel (the per-line shift happens in-kernel where the sample
+    # axis is the major block dim — see ops/pallas/decode_fused.py) --------
+    fused_ok = (not do_bloom and eq_mode == "threeband"
+                and filters._use_pallas())
+    if fused_ok:
+        from ntsc_crt_tpu.ops.pallas import decode_fused as _df
+        eqY, eqI, eqQ = _eq_coefs(cfg)
+        ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
+        brr = jnp.broadcast_to(bright[:, None], (B, L))
+        if CC == 4:
+            # Q wave is the I table rotated by 3 (crt_core.c:541-542)
+            wvI_l, wvQ_l = wave_l, jnp.roll(wave_l, -3, axis=-1)
+        else:
+            wvI_l, wvQ_l = waveI_l, waveQ_l
+        interp = filters._pallas_interpret()
+        coefs3 = (tuple(eqY), tuple(eqI), tuple(eqQ))
+        r8, g8, b8 = spatial.shard_rows_call(
+            lambda e_, sh_, wi_, wq_, br_, ct_: _df.decode_fused_rows(
+                e_, sh_, wi_, wq_, br_, ct_, outw=outw, av_len=AV,
+                max_shift=H - 1, coefs=coefs3, interpret=interp),
+            rows_ext.astype(jnp.int8).reshape(B * L, 2 * H),
+            xpos_l.reshape(B * L),
+            wvI_l.reshape(B * L, CC), wvQ_l.reshape(B * L, CC),
+            brr.reshape(B * L), ctr.reshape(B * L))
+        rgb = jnp.stack([r8, g8, b8], axis=-1).reshape(B, L, outw, 3)
+        out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
+                              mon.blend, mon.scanlines, outh,
+                              field_px=field_px, v_fac=v_fac)
+        state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new,
+                     rn=rn_new, randstate=randstate, inp=inp2d)
+        return out_new, state
+
     sig = fastpath.shift_rows(rows_ext.reshape(B * L, 2 * H),
                               xpos_l.reshape(B * L), AV,
                               max_shift=H - 1).reshape(B, L, AV)
@@ -602,36 +636,6 @@ def demodulate_core(
             wave_l[:, :, None, :] if CC == 4 else waveQ_l[:, :, None, :],
             crem(jnp.arange(AV, dtype=jnp.int32)[None, None, :]
                  + Lidx[..., None] + (3 if CC == 4 else 0), CC))
-
-    # --- fused fast path: EQ + scan conversion in one Pallas kernel --------
-    fused_ok = (not do_bloom and eq_mode == "threeband"
-                and filters._use_pallas())
-    if fused_ok:
-        from ntsc_crt_tpu.ops.pallas import decode_fused as _df
-        eqY, eqI, eqQ = _eq_coefs(cfg)
-        ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
-        brr = jnp.broadcast_to(bright[:, None], (B, L))
-        if CC == 4:
-            # Q wave is the I table rotated by 3 (crt_core.c:541-542)
-            wvI_l, wvQ_l = wave_l, jnp.roll(wave_l, -3, axis=-1)
-        else:
-            wvI_l, wvQ_l = waveI_l, waveQ_l
-        interp = filters._pallas_interpret()
-        coefs3 = (tuple(eqY), tuple(eqI), tuple(eqQ))
-        r8, g8, b8 = spatial.shard_rows_call(
-            lambda s_, wi_, wq_, br_, ct_: _df.decode_fused_rows(
-                s_, wi_, wq_, br_, ct_, outw=outw, coefs=coefs3,
-                interpret=interp),
-            sig.astype(jnp.int8).reshape(B * L, AV),
-            wvI_l.reshape(B * L, CC), wvQ_l.reshape(B * L, CC),
-            brr.reshape(B * L), ctr.reshape(B * L))
-        rgb = jnp.stack([r8, g8, b8], axis=-1).reshape(B, L, outw, 3)
-        out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
-                              mon.blend, mon.scanlines, outh,
-                              field_px=field_px, v_fac=v_fac)
-        state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new,
-                     rn=rn_new, randstate=randstate, inp=inp2d)
-        return out_new, state
 
     y_in = sig + bright[:, None, None]
     i_in = (sig * wv_i) >> 9

@@ -1,10 +1,19 @@
-"""Fully-fused decode kernel: YIQ input prep + 3-band EQ + scan conversion
-+ YIQ->RGB + contrast + clamp + packing, one VMEM residency per line.
+"""Fully-fused decode kernel: per-line hsync alignment + YIQ input prep +
+3-band EQ + scan conversion + YIQ->RGB + contrast + clamp + packing, one
+VMEM residency per line.
 
 Replaces three HBM round trips (stacked YIQ inputs, EQ outputs, lerp inputs —
-~0.5 GB each at batch 256) with: int8 signal in (46 MB), packed RGB out
-(157 MB).  Per (sublane x lane) row-block the kernel
+~0.5 GB each at batch 256) with: int8 signal in, packed RGB out.  Per
+(sublane x lane) row-block the kernel
 
+0. aligns each row to its hsync estimate: aligned[t] = ext[t + shift_row]
+   (the reference's per-line `sig[pos + i]` read, crt_core.c:538-543).  In
+   this kernel's tiling the sample axis is the MAJOR block dim (rows live on
+   sublane x lane), so per-row sample shifts are plain major-dim slices — no
+   lane rotates, no misaligned lane-slice relayouts (the cost that bounds
+   every XLA formulation of `shift_rows`, docs/PERF.md).  A binary funnel
+   over the shift bits (descending, extent shrinking toward av_len) resolves
+   all 1024 rows' distinct shifts in ~log2(max_shift) masked-select passes;
 1. marches x serially in K-sample chunks computing the three EQ chains with
    *compile-time constant* coefficients (the per-channel gains/cutoffs are
    static config — crt_core.c:277-287), staging oy/oi/oq rows in VMEM;
@@ -61,18 +70,52 @@ def _eq_chain(state, sx, lf, hf, g0, g1, g2):
     return (fL0, fL1, fL2, fL3, fH0, fH1, fH2, fH3, sx, h0, h1), out
 
 
-def _make_kernel(T, outw, coefs, smap, cc):
+FUNNEL_CHUNK = 256  # funnel pass tile along the sample (major) dim
+
+
+def _make_kernel(T, av, outw, coefs, smap, cc, bits):
     cy, ci, cq = coefs  # per-channel (lf, hf, g0, g1, g2) python ints
     K = _chunk(cc)
+    C = FUNNEL_CHUNK
 
-    def kernel(sig_ref, wvi_ref, wvq_ref, br_ref, ct_ref, r_ref, g_ref,
-               b_ref, oy_s, oi_s, oq_s):
+    def kernel(sig_ref, sh_ref, wvi_ref, wvq_ref, br_ref, ct_ref, r_ref,
+               g_ref, b_ref, al_s, oy_s, oi_s, oq_s):
+        # --- stage 0: per-row alignment funnel ----------------------------
+        # Descending bit order: after applying bit kb, only positions
+        # [0, T + 2^kb - 1) remain live for the next pass, so the extent
+        # shrinks geometrically toward T.  Ascending-chunk in-place passes
+        # are safe: chunk j writes [jC, jC+C) and every later read is at
+        # position >= (j+1)C.  Chunk rounding reads a tail of stale scratch
+        # rows; those only pollute outputs at positions >= T + 2^kb - 1,
+        # which no later pass or EQ read consumes.
+        sh = sh_ref[0]                                    # (S, 128) int32
+        for kb in range(bits - 1, -1, -1):
+            off = 1 << kb
+            n = -(-(T + off - 1) // C)
+            m = ((sh >> kb) & 1) == 1                     # (S, 128) bool
+            src = sig_ref if kb == bits - 1 else al_s
+
+            def fpass(c, z, off=off, m=m, src=src):
+                t0 = c * C
+                a = src[pl.ds(t0 + off, C)]
+                b = src[pl.ds(t0, C)]
+                al_s[pl.ds(t0, C)] = jnp.where(m[None], a, b)
+                return z
+
+            lax.fori_loop(0, n, fpass, 0)
+        if bits == 0:
+            al_s[pl.ds(0, T)] = sig_ref[pl.ds(0, T)]
+        if T > av:
+            # the pre-aligned formulation zero-padded av -> T; match it
+            al_s[pl.ds(av, T - av)] = jnp.zeros((T - av,) + sh.shape,
+                                                jnp.int8)
+
         bright = br_ref[0]
         zero = jnp.zeros_like(bright)
 
         def chunk(tb, carry):
             sy, si, sq = carry
-            raw = sig_ref[pl.ds(tb * K, K)]               # (K, S, 128) int8
+            raw = al_s[pl.ds(tb * K, K)]                  # (K, S, 128) int8
             oys, ois, oqs = [], [], []
             for j in range(K):
                 sx = raw[j].astype(jnp.int32)
@@ -109,18 +152,52 @@ def _make_kernel(T, outw, coefs, smap, cc):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("outw", "coefs", "interpret"))
-def decode_fused_rows(sig, waveI, waveQ, bright, contrast, *, outw: int,
-                      coefs, interpret: bool = False):
-    """sig: int8 (R, T); waveI/waveQ: int32 (R, cc) with cc = 4 or 5;
-    bright/contrast: int32 (R,).  coefs: ((lf,hf,g0,g1,g2) x 3) python ints.
-    Returns clamped uint8 planes (r, g, b), each (R, outw)."""
-    R, T = sig.shape
+                   static_argnames=("outw", "av_len", "max_shift", "coefs",
+                                    "interpret"))
+def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
+                      outw: int, av_len: int = None, max_shift: int = 0,
+                      coefs=None, interpret: bool = False):
+    """ext: int8 (R, E) unaligned row signal; row r's active video starts at
+    sample shifts[r] (int32 (R,), 0 <= shift <= max_shift) and spans av_len
+    samples — i.e. the kernel consumes ext[r, shifts[r] + t] exactly like
+    the reference's `sig[pos + i]` reads (crt_core.c:538-543).  Pass
+    max_shift=0 with av_len == E for pre-aligned input.  waveI/waveQ: int32
+    (R, cc) with cc = 4 or 5; bright/contrast: int32 (R,).  coefs:
+    ((lf,hf,g0,g1,g2) x 3) python ints.  Returns clamped uint8 planes
+    (r, g, b), each (R, outw)."""
+    R, E = ext.shape
+    T = E if av_len is None else av_len
     cc = waveI.shape[-1]
     K = _chunk(cc)
     Tp = -(-T // K) * K
     s, L, Rw = lerp_resample_weights(T, outw)
     smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
+
+    # Wide shift ranges (the hsync estimate spans [0, H)) first resolve the
+    # high shift bits OUTSIDE the kernel with one masked-select level of
+    # stride COARSE = 2*LANE: every slice offset is lane-aligned, so unlike
+    # a general XLA shift stack the level costs no misaligned-lane relayout
+    # passes — and it halves the kernel's input extent and funnel depth.
+    COARSE = 2 * LANE
+    if max_shift >= 2 * COARSE:
+        nq = max_shift // COARSE + 1
+        S2 = Tp + COARSE + FUNNEL_CHUNK
+        need = COARSE * (nq - 1) + S2
+        extp = ext if E >= need else jnp.pad(ext, ((0, 0), (0, need - E)))
+        sh32 = shifts.astype(jnp.int32)
+        q = sh32 // COARSE
+        acc = jnp.zeros((R, S2), jnp.int8)
+        for v in range(nq):
+            acc = acc + jnp.where((q == v)[:, None],
+                                  extp[:, COARSE * v:COARSE * v + S2],
+                                  jnp.int8(0))
+        ext, E = acc, S2
+        shifts = sh32 - q * COARSE
+        max_shift = COARSE - 1
+
+    bits = int(max_shift).bit_length()
+    # input/scratch extent: pass kb touches up to Tp + 2^(kb+1) + C - 3
+    S = Tp + (1 << bits) + FUNNEL_CHUNK
 
     # small-batch (live/60 Hz) runs pad R=240 rows up to a full 1024-row
     # block otherwise — shrink the block height to the rows that exist
@@ -129,24 +206,28 @@ def decode_fused_rows(sig, waveI, waveQ, bright, contrast, *, outw: int,
     Rp = -(-R // rows_blk) * rows_blk
     RB = Rp // rows_blk
 
-    sigp = jnp.zeros((Rp, Tp), jnp.int8).at[:R, :T].set(sig)
-    sigT = sigp.T.reshape(Tp, RB, sub, LANE).swapaxes(0, 1)
+    w = min(E, S)
+    sigp = jnp.zeros((Rp, S), jnp.int8).at[:R, :w].set(ext[:, :w])
+    sigT = sigp.T.reshape(S, RB, sub, LANE).swapaxes(0, 1)
 
-    def vec(x, n):
-        xp = jnp.zeros((Rp, n), jnp.int32).at[:R].set(x.reshape(R, n))
+    def vec(x, n, dt=jnp.int32):
+        xp = jnp.zeros((Rp, n), dt).at[:R].set(x.reshape(R, n))
         return xp.T.reshape(n, RB, sub, LANE).swapaxes(0, 1)
 
+    shv = vec(shifts.astype(jnp.int32), 1)
     wvi = vec(waveI, cc)
     wvq = vec(waveQ, cc)
     br = vec(bright, 1)
     ct = vec(contrast, 1)
 
-    kern = _make_kernel(Tp, outw, coefs, smap, cc)
+    kern = _make_kernel(Tp, T, outw, coefs, smap, cc, bits)
 
     def body(*refs):
-        sig_r, wvi_r, wvq_r, br_r, ct_r, r_r, g_r, b_r, oys, ois, oqs = refs
-        kern(sig_r.at[0], wvi_r.at[0], wvq_r.at[0], br_r.at[0], ct_r.at[0],
-             r_r.at[0], g_r.at[0], b_r.at[0], oys, ois, oqs)
+        (sig_r, sh_r, wvi_r, wvq_r, br_r, ct_r, r_r, g_r, b_r,
+         al_s, oys, ois, oqs) = refs
+        kern(sig_r.at[0], sh_r.at[0], wvi_r.at[0], wvq_r.at[0], br_r.at[0],
+             ct_r.at[0], r_r.at[0], g_r.at[0], b_r.at[0],
+             al_s, oys, ois, oqs)
 
     ospec = pl.BlockSpec((1, outw, sub, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -155,17 +236,19 @@ def decode_fused_rows(sig, waveI, waveQ, bright, contrast, *, outw: int,
     r8, g8, b8 = pl.pallas_call(
         body,
         grid=(RB,),
-        in_specs=[spec(Tp), spec(cc), spec(cc), spec(1), spec(1)],
+        in_specs=[spec(S), spec(1), spec(cc), spec(cc), spec(1), spec(1)],
         out_specs=(ospec, ospec, ospec),
         out_shape=tuple(jax.ShapeDtypeStruct((RB, outw, sub, LANE), jnp.uint8)
                         for _ in range(3)),
-        scratch_shapes=[pltpu.VMEM((Tp + 1, sub, LANE), jnp.int32)] * 3,
+        scratch_shapes=[pltpu.VMEM((S, sub, LANE), jnp.int8)] +
+                       [pltpu.VMEM((Tp + 1, sub, LANE), jnp.int32)] * 3,
         compiler_params=pltpu.CompilerParams(
-            # PV1K's 1520-wide scratch needs ~29 MB; keep the narrower
-            # systems at the measured-best default headroom
-            vmem_limit_bytes=(36 if Tp > 1024 else 24) * 1024 * 1024),
+            # PV1K's 1520-wide int32 staging needs ~19 MB + the ~3.8 MB
+            # ext/alignment int8 buffers; narrower systems keep the
+            # measured-best default headroom
+            vmem_limit_bytes=(44 if Tp > 1024 else 28) * 1024 * 1024),
         interpret=interpret,
-    )(sigT, wvi, wvq, br, ct)
+    )(sigT, shv, wvi, wvq, br, ct)
 
     def back(x):
         return x.swapaxes(0, 1).reshape(outw, Rp).T[:R]

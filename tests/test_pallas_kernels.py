@@ -54,10 +54,18 @@ def test_scanconv_kernel_matches_limb_matmul(rng):
     np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
 
 
-@pytest.mark.parametrize("cc", [4, 5])
-def test_decode_fused_matches_unfused(rng, cc):
+@pytest.mark.parametrize("cc,MS", [(4, 37), (5, 37), (4, 700)])
+def test_decode_fused_matches_unfused(rng, cc, MS):
+    """The kernel consumes UNALIGNED rows + per-row shifts (the in-kernel
+    alignment funnel replaces the XLA shift_rows pass); the reference path
+    aligns on the host first and runs the portable stages.  MS=37 exercises
+    the funnel alone; MS=700 additionally exercises the lane-aligned
+    coarse pre-level (max_shift >= 2*COARSE)."""
     from ntsc_crt_tpu.ops.pallas import decode_fused as df
-    sig = jnp.asarray(rng.randint(-127, 128, (R, T), dtype=np.int8))
+    ext = rng.randint(-127, 128, (R, T + MS), dtype=np.int8)
+    shifts = rng.randint(0, MS + 1, R).astype(np.int32)
+    sig = jnp.asarray(
+        np.stack([ext[r, s:s + T] for r, s in enumerate(shifts)]))
     wave = jnp.asarray(rng.randint(-60000, 60000, (R, cc), dtype=np.int32))
     if cc == 4:
         waveI, waveQ = wave, jnp.roll(wave, -3, axis=-1)
@@ -69,7 +77,8 @@ def test_decode_fused_matches_unfused(rng, cc):
     ct = jnp.full((R,), 180, jnp.int32)
     eqY, eqI, eqQ = dem._eq_coefs(cfg)
     r8, g8, b8 = df.decode_fused_rows(
-        sig, waveI, waveQ, bright, ct, outw=OUTW,
+        jnp.asarray(ext), jnp.asarray(shifts), waveI, waveQ, bright, ct,
+        outw=OUTW, av_len=T, max_shift=MS,
         coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)), interpret=True)
     got = (np.asarray(r8).astype(np.int64) << 16) \
         | (np.asarray(g8).astype(np.int64) << 8) | np.asarray(b8)
