@@ -278,12 +278,16 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     PAD = max(cfg.cb_beg + cfg.burst_len, cfg.sync_beg + 2 * W) + 2 * W
     PAD += (-(H + PAD)) % 128      # lane-align H+PAD so the hsync scan can
     #                                view rows as (nblk, 128) blocks for free
-    row_idx = posmod(jnp.asarray(lines, jnp.int32)[None, :]
-                     + vsync[:, None], V)
-    row_idx2 = jnp.concatenate([row_idx, posmod(row_idx[:, -1:] + 1, V)],
-                               axis=1)
-    rolled = fastpath.select_rows_batched(
-        inp2d, row_idx2).astype(jnp.int8)                 # (B, L+1, H)
+    # ONE roll serves both this scan and the caller's line extraction: the
+    # extraction rows are the same lines nudged by ynudge=+3
+    # (crt_core.c:428), i.e. static row slices of a (L+4)-row roll — one
+    # fewer full-signal one-hot select pass per step
+    row_idx4 = posmod(cfg.top
+                      + jnp.arange(L + 4, dtype=jnp.int32)[None, :]
+                      + vsync[:, None], V)
+    rolled4 = fastpath.select_rows_batched(
+        inp2d, row_idx4).astype(jnp.int8)                 # (B, L+4, H)
+    rolled = rolled4[:, :L + 1]
     rows2 = jnp.concatenate([rolled[:, :L],
                              rolled[:, 1:, :PAD]], axis=2)  # (B, L, H+PAD)
 
@@ -458,7 +462,7 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
         dcqA = pick(off180)
         dcqB = pick(0)
         outs = (xpos_l, beg_l, end_l, active_l, dciA - dciB, dcqA - dcqB)
-    return hsync_f, ccf_f, outs
+    return hsync_f, ccf_f, outs, rolled4
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +532,7 @@ def demodulate_core(
     field_px = field * (ratio // 2)                      # (B,)
 
     vsync_new, field_px = lax.optimization_barrier((vsync_new, field_px))
-    hsync_new, ccf_new, outs = _line_scan(
+    hsync_new, ccf_new, outs, rolled4 = _line_scan(
         cfg, inp2d, _b(hsync, B), jnp.asarray(ccf, jnp.int32), vsync_new,
         hue_sn, hue_cs, saturation, outh, v_fac, field_px, do_hsync=do_hsync)
     outs = lax.optimization_barrier(outs)
@@ -553,9 +557,7 @@ def demodulate_core(
     # xpos_l as a grouped one-hot conv over flattened rows.  Reads past a
     # row continue into the next; past the last line wrap to the top (the
     # reference reads OOB there — UB — e.g. under VHS aberration).
-    row_idx = posmod(cfg.top + vsync_new[:, None]
-                     + jnp.arange(L + 1, dtype=jnp.int32)[None, :] + 3, V)
-    rolled = fastpath.select_rows_batched(inp2d, row_idx)  # (B, L+1, H)
+    rolled = rolled4[:, 3:]    # rows l+3: one shared roll with _line_scan
     rows_ext = jnp.concatenate([rolled[:, :L], rolled[:, 1:]], axis=2)
     rows_ext = spatial.shard_lines(rows_ext, 1, tag="rows_ext")
 

@@ -168,6 +168,25 @@ def _resample(cfg: SystemConfig, img_u8, sy, destw):
     return fastpath.select_cols_static(rows.astype(jnp.uint8), sx)
 
 
+def _resample_planes(cfg: SystemConfig, img_u8, sy, destw):
+    """Per-channel variant of _resample for the fused encode kernel: three
+    (B, desth, destw) uint8 planes, each its own one-hot column matmul, so
+    the interleaved (B, desth, destw, 3) tensor and the strided plane-split
+    pass over it (~0.9 ms/step at PV1K batch 256) never materialize."""
+    w = img_u8.shape[2]
+    sx = (np.arange(destw, dtype=np.int64) * w) // destw
+    onehot = np.zeros((w, destw), np.float32)
+    onehot[sx, np.arange(destw)] = 1
+    dt = fastpath._mm_dtype()
+    oh = jnp.asarray(onehot, dt)
+    rows = fastpath.select_rows_batched(img_u8, sy)       # (B, desth, w, 3)
+    rows = rows.astype(jnp.uint8)
+    return tuple(
+        jnp.einsum("bhw,wd->bhd", rows[..., c].astype(dt), oh,
+                   preferred_element_type=jnp.float32).astype(jnp.uint8)
+        for c in range(3))
+
+
 def _rgb_to_yiq(pix):
     """crt_ntsc.c:307-310 — int32 elementwise."""
     rA, gA, bA = pix[..., 0], pix[..., 1], pix[..., 2]
@@ -189,16 +208,17 @@ def _bandlimit(cfg: SystemConfig, fy, fi, fq):
 
 
 
-def _encode_active_fused(cfg, pix, modI_rows, modQ_rows, gain, base,
+def _encode_active_fused(cfg, planes, modI_rows, modQ_rows, gain, base,
                          xo: int):
     """Fused RGB->YIQ + IIR + carrier + IRE kernel dispatch
-    (ops/pallas/encode_fused.py).  pix: (B, desth, destw, 3) resampled RGB
-    (any int dtype, values 0..255 — fed to the kernel as u8 planes so the
-    s32 YIQ and s16 convert intermediates never touch HBM); modI/Q_rows:
-    int32 (B, desth, cc) per-row carrier tables (phase sign premultiplied,
-    cc = 4 or 5); gain/base: int32 (B,).  Returns int8 (B, desth, destw)."""
+    (ops/pallas/encode_fused.py).  planes: 3-tuple of (B, desth, destw)
+    uint8 R/G/B planes from _resample_planes (fed to the kernel so the s32
+    YIQ and s16 convert intermediates never touch HBM); modI/Q_rows: int32
+    (B, desth, cc) per-row carrier tables (phase sign premultiplied, cc = 4
+    or 5); gain/base: int32 (B,).  Returns int8 (B, desth, destw)."""
     from ntsc_crt_tpu.ops.pallas import encode_fused as _ef
-    B, desth, destw = pix.shape[:3]
+    r8, g8, b8 = planes
+    B, desth, destw = r8.shape
     cc = modI_rows.shape[-1]
     if cfg.do_bandlimiting:
         coefs = (filters.init_iir(cfg.l_freq, cfg.y_freq),
@@ -209,14 +229,11 @@ def _encode_active_fused(cfg, pix, modI_rows, modQ_rows, gain, base,
     R = B * desth
     interp = filters._pallas_interpret()
     xo_mod = xo % cc
-    pix8 = pix.astype(jnp.uint8)
     out = spatial.shard_rows_call(
         lambda r_, g8_, b8_, mi_, mq_, g_, b_: _ef.encode_fused_rows(
             r_, g8_, b8_, mi_, mq_, g_, b_, coefs=coefs, xo_mod=xo_mod,
             rgb=True, interpret=interp),
-        pix8[..., 0].reshape(R, destw),
-        pix8[..., 1].reshape(R, destw),
-        pix8[..., 2].reshape(R, destw),
+        r8.reshape(R, destw), g8.reshape(R, destw), b8.reshape(R, destw),
         modI_rows.reshape(R, cc), modQ_rows.reshape(R, cc),
         jnp.broadcast_to(gain[:, None], (B, desth)).reshape(R),
         jnp.broadcast_to(base[:, None], (B, desth)).reshape(R))
@@ -346,19 +363,20 @@ def modulate_rgb(
     sy = (y_idx * h) // desth + field_offset             # (B, desth)
     # C clamps sy to h (reads one row past the image, UB); we use last row
     sy = jnp.minimum(sy, h - 1)
-    pix = _resample(cfg, img_u8, sy, destw)
 
     gain = cdiv(cfg.white_level * white_point, 100)
     base = cfg.black_level + black_point
     if filters._use_pallas():
-        pix = spatial.shard_lines(pix, 1, tag="enc_rgb")
+        planes = tuple(spatial.shard_lines(p, 1, tag="enc_rgb")
+                       for p in _resample_planes(cfg, img_u8, sy, destw))
         mi_rows = jnp.broadcast_to((ccmodI * ph[:, None])[:, None, :],
                                    (B, desth, CC))
         mq_rows = jnp.broadcast_to((ccmodQ * ph[:, None])[:, None, :],
                                    (B, desth, CC))
-        ire = _encode_active_fused(cfg, pix, mi_rows, mq_rows,
+        ire = _encode_active_fused(cfg, planes, mi_rows, mq_rows,
                                    gain, base, xo)
     else:
+        pix = _resample(cfg, img_u8, sy, destw)
         fy, fi, fq = _rgb_to_yiq(pix)
         fy = spatial.shard_lines(fy, 1, tag="enc_y")
         if cfg.do_bandlimiting:
@@ -503,21 +521,22 @@ def modulate_vper(
     else:
         field_offset = jnp.zeros((B, 1), jnp.int32)      # SNES: field unused
     sy = jnp.minimum((y_idx * h) // desth + field_offset, h - 1)
-    pix = _resample(cfg, img_u8, sy, destw)
 
     if filters._use_pallas():
-        pix = spatial.shard_lines(pix, 1, tag="enc_rgb")
+        planes = tuple(spatial.shard_lines(p, 1, tag="enc_rgb")
+                       for p in _resample_planes(cfg, img_u8, sy, destw))
         # per-row carrier tables selected by the line's vertical phase class
         phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
         mi_rows = jnp.take(ccmodI, phr, axis=1)          # (B, desth, CC)
         mq_rows = jnp.take(ccmodQ, phr, axis=1)
         gain = cdiv(cfg.white_level * white_point, 100)
         base = cfg.black_level + black_point
-        ire = _encode_active_fused(cfg, pix, mi_rows, mq_rows,
+        ire = _encode_active_fused(cfg, planes, mi_rows, mq_rows,
                                    gain, base, xo)
         analog = _store_active(analog, ire, xo, yo)
         return analog, ccf
 
+    pix = _resample(cfg, img_u8, sy, destw)
     fy, fi, fq = _rgb_to_yiq(pix)
     fy = spatial.shard_lines(fy, 1, tag="enc_y")
     if cfg.do_bandlimiting:
@@ -605,19 +624,20 @@ def modulate_nesrgb(
     y_idx = jnp.arange(desth, dtype=jnp.int32)[None, :]
     sy = jnp.clip((y_idx * h) // desth, 0, h - 1)
     sy = jnp.broadcast_to(sy, (B, desth))
-    pix = _resample(cfg, img_u8, sy, destw)
 
     if filters._use_pallas() and CC == 4:
+        planes = _resample_planes(cfg, img_u8, sy, destw)
         phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
         mi_rows = jnp.take(ccmodI, phr, axis=1)
         mq_rows = jnp.take(ccmodQ, phr, axis=1)
         gain = cdiv(cfg.white_level * white_point, 100)
         base = cfg.black_level + black_point
-        ire = _encode_active_fused(cfg, pix, mi_rows, mq_rows,
+        ire = _encode_active_fused(cfg, planes, mi_rows, mq_rows,
                                    gain, base, xo)
         analog = _store_active(analog, ire, xo, yo)
         return analog, ccf
 
+    pix = _resample(cfg, img_u8, sy, destw)
     fy, fi, fq = _rgb_to_yiq(pix)
 
     ph_row = (np.arange(desth, dtype=np.int64) + yo) % VP
