@@ -404,15 +404,47 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
                     + vsync[:, None] + 3, V)              # ynudge=+3
     vper_l = crem(ypos_l, cfg.cc_vper)                    # (B, L)
 
-    # --- burst windows for every line in one batched shift -----------------
+    # --- burst windows for every line: gather-free block-pair select -------
+    # (was a wide shift_rows over (B*L, H+PAD) rows — the masked radix stack
+    # plus its batch-minor relayout copies cost ~1 ms/step at batch 256; the
+    # burst base is known for every line once the chase ran, so the same
+    # two-stage one-hot select the hsync probe uses pulls the burst_len
+    # samples with two tiny MXU contractions over the SAME blocks view,
+    # no extra layout of the padded rows)
     if CC == 4:
         bbase = (hsync_l & ~3) + cfg.cb_beg               # crt_core.c:458
     else:
         bbase = (hsync_l - crem(hsync_l, CC)) + cfg.cb_beg
-    bvals = fastpath.shift_rows(
-        rows2.reshape(B * L, H + PAD), bbase.reshape(B * L),
-        cfg.burst_len,
-        max_shift=cfg.cb_beg + H - 1).reshape(B, L, cfg.burst_len)
+    HPb = rows2.shape[2]
+    nblkb = HPb // 128
+    assert ((cfg.cb_beg + H - 1) >> 7) + 1 < nblkb, \
+        (f"{cfg.name}: burst block q+1 can reach nblk={nblkb} "
+         f"(H={H}, cb_beg={cfg.cb_beg}) — bump PAD")
+    qb, rb = bbase >> 7, bbase & 127
+    # stage 1 — 128-block pair at lane-ALIGNED offsets (128v): the masked
+    # adds fuse over rows2 in its native layout (aligned lane slices cost
+    # no relayout, unlike the general shift stack).  The two fine stages
+    # then run on small (B, L, 256 / 15+burst) intermediates, int8 until
+    # the final widen.  (A batched one-hot einsum formulation lowered to a
+    # convolution + a second 106 MB blocks relayout — measured ~1.4 ms/step
+    # SLOWER than this; don't redo.)
+    z8 = jnp.int8(0)
+    pair = jnp.zeros((B, L, 256), jnp.int8)
+    for v in range(nblkb - 1):
+        pair = pair + jnp.where((qb == v)[..., None],
+                                rows2[:, :, 128 * v:128 * v + 256], z8)
+    w1 = 15 + cfg.burst_len
+    gb = rb >> 4                                          # [0, 8)
+    buf = jnp.zeros((B, L, w1), jnp.int8)
+    for v in range(8):
+        buf = buf + jnp.where((gb == v)[..., None],
+                              pair[:, :, 16 * v:16 * v + w1], z8)
+    r3b = rb & 15
+    bvals = jnp.zeros((B, L, cfg.burst_len), jnp.int32)
+    for v in range(16):                  # bvals[k] = rows2[bbase+k] exactly
+        bvals = bvals + jnp.where(
+            (r3b == v)[..., None],
+            buf[:, :, v:v + cfg.burst_len].astype(jnp.int32), 0)
     m = cfg.burst_len // CC
     col_for_cls = np.asarray([(k - cfg.cb_beg) % CC for k in range(CC)])
     per_cls = bvals.reshape(B, L, m, CC)[:, :, :, jnp.asarray(col_for_cls)]
@@ -558,8 +590,6 @@ def demodulate_core(
     # row continue into the next; past the last line wrap to the top (the
     # reference reads OOB there — UB — e.g. under VHS aberration).
     rolled = rolled4[:, 3:]    # rows l+3: one shared roll with _line_scan
-    rows_ext = jnp.concatenate([rolled[:, :L], rolled[:, 1:]], axis=2)
-    rows_ext = spatial.shard_lines(rows_ext, 1, tag="rows_ext")
 
     # --- fused fast path: per-line alignment + EQ + scan conversion in one
     # Pallas kernel (the per-line shift happens in-kernel where the sample
@@ -578,11 +608,17 @@ def demodulate_core(
             wvI_l, wvQ_l = waveI_l, waveQ_l
         interp = filters._pallas_interpret()
         coefs3 = (tuple(eqY), tuple(eqI), tuple(eqQ))
+        # the two row planes (line l / line l+1) go in separately — the
+        # kernel concatenates them in VMEM, so neither the (B, L, 2H)
+        # concat nor any XLA-side coarse pre-shift ever hits HBM
+        extA = spatial.shard_lines(rolled[:, :L], 1, tag="rows_ext")
+        extB = spatial.shard_lines(rolled[:, 1:], 1, tag="rows_ext_hi")
         r8, g8, b8 = spatial.shard_rows_call(
-            lambda e_, sh_, wi_, wq_, br_, ct_: _df.decode_fused_rows(
-                e_, sh_, wi_, wq_, br_, ct_, outw=outw, av_len=AV,
-                max_shift=H - 1, coefs=coefs3, interpret=interp),
-            rows_ext.astype(jnp.int8).reshape(B * L, 2 * H),
+            lambda e_, eh_, sh_, wi_, wq_, br_, ct_: _df.decode_fused_rows(
+                e_, sh_, wi_, wq_, br_, ct_, ext_hi=eh_, outw=outw,
+                av_len=AV, max_shift=H - 1, coefs=coefs3, interpret=interp),
+            extA.astype(jnp.int8).reshape(B * L, H),
+            extB.astype(jnp.int8).reshape(B * L, H),
             xpos_l.reshape(B * L),
             wvI_l.reshape(B * L, CC), wvQ_l.reshape(B * L, CC),
             brr.reshape(B * L), ctr.reshape(B * L))
@@ -594,6 +630,8 @@ def demodulate_core(
                      rn=rn_new, randstate=randstate, inp=inp2d)
         return out_new, state
 
+    rows_ext = jnp.concatenate([rolled[:, :L], rolled[:, 1:]], axis=2)
+    rows_ext = spatial.shard_lines(rows_ext, 1, tag="rows_ext")
     sig = fastpath.shift_rows(rows_ext.reshape(B * L, 2 * H),
                               xpos_l.reshape(B * L), AV,
                               max_shift=H - 1).reshape(B, L, AV)

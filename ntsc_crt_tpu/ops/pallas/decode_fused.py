@@ -46,6 +46,8 @@ from ntsc_crt_tpu.ops.fastpath import lerp_resample_weights
 
 LANE = 128
 SUB = 8   # full-VPU tiles; VMEM fits via the three uint8 output planes
+#         (sub=16 measured identical kernel time on PV1K shapes — the EQ
+#         chain is issue-bound, not latency-bound; docs/PERF.md r3)
 
 
 def _chunk(cc: int) -> int:
@@ -73,13 +75,13 @@ def _eq_chain(state, sx, lf, hf, g0, g1, g2):
 FUNNEL_CHUNK = 256  # funnel pass tile along the sample (major) dim
 
 
-def _make_kernel(T, av, outw, coefs, smap, cc, bits):
+def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
     cy, ci, cq = coefs  # per-channel (lf, hf, g0, g1, g2) python ints
     K = _chunk(cc)
     C = FUNNEL_CHUNK
 
     def kernel(sig_ref, sh_ref, wvi_ref, wvq_ref, br_ref, ct_ref, r_ref,
-               g_ref, b_ref, al_s, oy_s, oi_s, oq_s):
+               g_ref, b_ref, al_s, oy_s, oi_s, oq_s, sigB_ref=None):
         # --- stage 0: per-row alignment funnel ----------------------------
         # Descending bit order: after applying bit kb, only positions
         # [0, T + 2^kb - 1) remain live for the next pass, so the extent
@@ -89,11 +91,24 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits):
         # rows; those only pollute outputs at positions >= T + 2^kb - 1,
         # which no later pass or EQ read consumes.
         sh = sh_ref[0]                                    # (S, 128) int32
+        if pair is not None:
+            # two row planes (this line / next line): pre-fill the scratch
+            # with their logical concatenation, then run the funnel fully
+            # in-place.  In-place is safe for any offset: each chunk loads
+            # both its slices before storing, and chunk j+1 only reads
+            # positions >= (j+1)C, which this pass has not written yet.
+            W1, W2, S = pair
+            al_s[pl.ds(0, min(W1, S))] = sig_ref[pl.ds(0, min(W1, S))]
+            if W2 > 0:
+                al_s[pl.ds(W1, W2)] = sigB_ref[pl.ds(0, W2)]
+            if S > W1 + W2:
+                al_s[pl.ds(W1 + W2, S - W1 - W2)] = jnp.zeros(
+                    (S - W1 - W2,) + sh.shape, jnp.int8)
         for kb in range(bits - 1, -1, -1):
             off = 1 << kb
             n = -(-(T + off - 1) // C)
             m = ((sh >> kb) & 1) == 1                     # (S, 128) bool
-            src = sig_ref if kb == bits - 1 else al_s
+            src = al_s if (pair is not None or kb < bits - 1) else sig_ref
 
             def fpass(c, z, off=off, m=m, src=src):
                 t0 = c * C
@@ -103,7 +118,7 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits):
                 return z
 
             lax.fori_loop(0, n, fpass, 0)
-        if bits == 0:
+        if bits == 0 and pair is None:
             al_s[pl.ds(0, T)] = sig_ref[pl.ds(0, T)]
         if T > av:
             # the pre-aligned formulation zero-padded av -> T; match it
@@ -156,7 +171,7 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits):
                                     "interpret"))
 def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
                       outw: int, av_len: int = None, max_shift: int = 0,
-                      coefs=None, interpret: bool = False):
+                      coefs=None, interpret: bool = False, ext_hi=None):
     """ext: int8 (R, E) unaligned row signal; row r's active video starts at
     sample shifts[r] (int32 (R,), 0 <= shift <= max_shift) and spans av_len
     samples — i.e. the kernel consumes ext[r, shifts[r] + t] exactly like
@@ -164,7 +179,14 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
     max_shift=0 with av_len == E for pre-aligned input.  waveI/waveQ: int32
     (R, cc) with cc = 4 or 5; bright/contrast: int32 (R,).  coefs:
     ((lf,hf,g0,g1,g2) x 3) python ints.  Returns clamped uint8 planes
-    (r, g, b), each (R, outw)."""
+    (r, g, b), each (R, outw).
+
+    ext_hi (int8 (R, E2), optional): continuation plane — the logical row
+    signal is concat(ext[r], ext_hi[r]).  In the decoder ext is line l's
+    field row and ext_hi is line l+1's (reads past a row spill into the
+    next, crt_core.c:538-543 flat indexing), so the caller never has to
+    materialize the (R, E+E2) concat or any XLA-side coarse pre-shift: the
+    whole alignment (all shift bits) runs as in-VMEM funnel passes."""
     R, E = ext.shape
     T = E if av_len is None else av_len
     cc = waveI.shape[-1]
@@ -173,31 +195,44 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
     s, L, Rw = lerp_resample_weights(T, outw)
     smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
 
-    # Wide shift ranges (the hsync estimate spans [0, H)) first resolve the
-    # high shift bits OUTSIDE the kernel with one masked-select level of
-    # stride COARSE = 2*LANE: every slice offset is lane-aligned, so unlike
-    # a general XLA shift stack the level costs no misaligned-lane relayout
-    # passes — and it halves the kernel's input extent and funnel depth.
-    COARSE = 2 * LANE
-    if max_shift >= 2 * COARSE:
-        nq = max_shift // COARSE + 1
-        S2 = Tp + COARSE + FUNNEL_CHUNK
-        need = COARSE * (nq - 1) + S2
-        extp = ext if E >= need else jnp.pad(ext, ((0, 0), (0, need - E)))
-        sh32 = shifts.astype(jnp.int32)
-        q = sh32 // COARSE
-        acc = jnp.zeros((R, S2), jnp.int8)
-        for v in range(nq):
-            acc = acc + jnp.where((q == v)[:, None],
-                                  extp[:, COARSE * v:COARSE * v + S2],
-                                  jnp.int8(0))
-        ext, E = acc, S2
-        shifts = sh32 - q * COARSE
-        max_shift = COARSE - 1
+    pair = None
+    if ext_hi is not None:
+        bits = int(max_shift).bit_length()
+        S = Tp + (1 << bits) + FUNNEL_CHUNK
+        W2 = max(0, min(ext_hi.shape[1], S - E))
+        if W2 == 0:
+            ext_hi = None          # funnel extent fits in the first plane
+        else:
+            pair = (E, W2, S)
 
-    bits = int(max_shift).bit_length()
-    # input/scratch extent: pass kb touches up to Tp + 2^(kb+1) + C - 3
-    S = Tp + (1 << bits) + FUNNEL_CHUNK
+    if ext_hi is None:
+        # Wide shift ranges (the hsync estimate spans [0, H)) first resolve
+        # the high shift bits OUTSIDE the kernel with one masked-select level
+        # of stride COARSE = 2*LANE: every slice offset is lane-aligned, so
+        # unlike a general XLA shift stack the level costs no misaligned-lane
+        # relayout passes — and it halves the kernel's input extent and
+        # funnel depth.  (The pair path above avoids even this: all bits
+        # resolve in VMEM.)
+        COARSE = 2 * LANE
+        if max_shift >= 2 * COARSE:
+            nq = max_shift // COARSE + 1
+            S2 = Tp + COARSE + FUNNEL_CHUNK
+            need = COARSE * (nq - 1) + S2
+            extp = ext if E >= need else jnp.pad(ext, ((0, 0), (0, need - E)))
+            sh32 = shifts.astype(jnp.int32)
+            q = sh32 // COARSE
+            acc = jnp.zeros((R, S2), jnp.int8)
+            for v in range(nq):
+                acc = acc + jnp.where((q == v)[:, None],
+                                      extp[:, COARSE * v:COARSE * v + S2],
+                                      jnp.int8(0))
+            ext, E = acc, S2
+            shifts = sh32 - q * COARSE
+            max_shift = COARSE - 1
+
+        bits = int(max_shift).bit_length()
+        # input/scratch extent: pass kb touches up to Tp + 2^(kb+1) + C - 3
+        S = Tp + (1 << bits) + FUNNEL_CHUNK
 
     # small-batch (live/60 Hz) runs pad R=240 rows up to a full 1024-row
     # block otherwise — shrink the block height to the rows that exist
@@ -206,9 +241,18 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
     Rp = -(-R // rows_blk) * rows_blk
     RB = Rp // rows_blk
 
-    w = min(E, S)
-    sigp = jnp.zeros((Rp, S), jnp.int8).at[:R, :w].set(ext[:, :w])
-    sigT = sigp.T.reshape(S, RB, sub, LANE).swapaxes(0, 1)
+    def rowsT(x, w_in, w_out):
+        xp = jnp.zeros((Rp, w_out), jnp.int8).at[:R, :w_in].set(x[:, :w_in])
+        return xp.T.reshape(w_out, RB, sub, LANE).swapaxes(0, 1)
+
+    if pair is None:
+        sig_ins = [rowsT(ext, min(E, S), S)]
+        sig_specs = [S]
+    else:
+        W1c = min(E, S)
+        sig_ins = [rowsT(ext, W1c, W1c), rowsT(ext_hi, pair[1], pair[1])]
+        sig_specs = [W1c, pair[1]]
+        pair = (W1c, pair[1], S)
 
     def vec(x, n, dt=jnp.int32):
         xp = jnp.zeros((Rp, n), dt).at[:R].set(x.reshape(R, n))
@@ -220,14 +264,21 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
     br = vec(bright, 1)
     ct = vec(contrast, 1)
 
-    kern = _make_kernel(Tp, T, outw, coefs, smap, cc, bits)
+    kern = _make_kernel(Tp, T, outw, coefs, smap, cc, bits, pair=pair)
 
     def body(*refs):
-        (sig_r, sh_r, wvi_r, wvq_r, br_r, ct_r, r_r, g_r, b_r,
-         al_s, oys, ois, oqs) = refs
-        kern(sig_r.at[0], sh_r.at[0], wvi_r.at[0], wvq_r.at[0], br_r.at[0],
-             ct_r.at[0], r_r.at[0], g_r.at[0], b_r.at[0],
-             al_s, oys, ois, oqs)
+        if pair is None:
+            (sig_r, sh_r, wvi_r, wvq_r, br_r, ct_r, r_r, g_r, b_r,
+             al_s, oys, ois, oqs) = refs
+            kern(sig_r.at[0], sh_r.at[0], wvi_r.at[0], wvq_r.at[0],
+                 br_r.at[0], ct_r.at[0], r_r.at[0], g_r.at[0], b_r.at[0],
+                 al_s, oys, ois, oqs)
+        else:
+            (sig_r, sigb_r, sh_r, wvi_r, wvq_r, br_r, ct_r, r_r, g_r, b_r,
+             al_s, oys, ois, oqs) = refs
+            kern(sig_r.at[0], sh_r.at[0], wvi_r.at[0], wvq_r.at[0],
+                 br_r.at[0], ct_r.at[0], r_r.at[0], g_r.at[0], b_r.at[0],
+                 al_s, oys, ois, oqs, sigB_ref=sigb_r.at[0])
 
     ospec = pl.BlockSpec((1, outw, sub, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -236,7 +287,8 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
     r8, g8, b8 = pl.pallas_call(
         body,
         grid=(RB,),
-        in_specs=[spec(S), spec(1), spec(cc), spec(cc), spec(1), spec(1)],
+        in_specs=[spec(n) for n in sig_specs] +
+                 [spec(1), spec(cc), spec(cc), spec(1), spec(1)],
         out_specs=(ospec, ospec, ospec),
         out_shape=tuple(jax.ShapeDtypeStruct((RB, outw, sub, LANE), jnp.uint8)
                         for _ in range(3)),
@@ -248,7 +300,7 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
             # measured-best default headroom
             vmem_limit_bytes=(44 if Tp > 1024 else 28) * 1024 * 1024),
         interpret=interpret,
-    )(sigT, shv, wvi, wvq, br, ct)
+    )(*sig_ins, shv, wvi, wvq, br, ct)
 
     def back(x):
         return x.swapaxes(0, 1).reshape(outw, Rp).T[:R]

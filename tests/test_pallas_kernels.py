@@ -54,13 +54,17 @@ def test_scanconv_kernel_matches_limb_matmul(rng):
     np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
 
 
-@pytest.mark.parametrize("cc,MS", [(4, 37), (5, 37), (4, 700)])
-def test_decode_fused_matches_unfused(rng, cc, MS):
+@pytest.mark.parametrize("cc,MS,pair",
+                         [(4, 37, False), (5, 37, False), (4, 700, False),
+                          (4, 700, True), (5, 300, True)])
+def test_decode_fused_matches_unfused(rng, cc, MS, pair):
     """The kernel consumes UNALIGNED rows + per-row shifts (the in-kernel
     alignment funnel replaces the XLA shift_rows pass); the reference path
     aligns on the host first and runs the portable stages.  MS=37 exercises
     the funnel alone; MS=700 additionally exercises the lane-aligned
-    coarse pre-level (max_shift >= 2*COARSE)."""
+    coarse pre-level (max_shift >= 2*COARSE); pair=True feeds the signal
+    as two row planes (the decoder's line-l / line-l+1 split) so the
+    in-VMEM concatenation + full-depth funnel path is covered."""
     from ntsc_crt_tpu.ops.pallas import decode_fused as df
     ext = rng.randint(-127, 128, (R, T + MS), dtype=np.int8)
     shifts = rng.randint(0, MS + 1, R).astype(np.int32)
@@ -76,8 +80,15 @@ def test_decode_fused_matches_unfused(rng, cc, MS):
     bright = jnp.asarray(rng.randint(-20, 20, (R,), dtype=np.int32))
     ct = jnp.full((R,), 180, jnp.int32)
     eqY, eqI, eqQ = dem._eq_coefs(cfg)
+    if pair:
+        # uneven split: plane A narrower than the funnel extent
+        W1 = (T + MS) // 2 + 17
+        extA, extB = ext[:, :W1], ext[:, W1:]
+    else:
+        extA, extB = ext, None
     r8, g8, b8 = df.decode_fused_rows(
-        jnp.asarray(ext), jnp.asarray(shifts), waveI, waveQ, bright, ct,
+        jnp.asarray(extA), jnp.asarray(shifts), waveI, waveQ, bright, ct,
+        ext_hi=None if extB is None else jnp.asarray(extB),
         outw=OUTW, av_len=T, max_shift=MS,
         coefs=(tuple(eqY), tuple(eqI), tuple(eqQ)), interpret=True)
     got = (np.asarray(r8).astype(np.int64) << 16) \
