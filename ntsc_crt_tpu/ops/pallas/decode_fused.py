@@ -90,7 +90,7 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
         # position >= (j+1)C.  Chunk rounding reads a tail of stale scratch
         # rows; those only pollute outputs at positions >= T + 2^kb - 1,
         # which no later pass or EQ read consumes.
-        sh = sh_ref[0]                                    # (S, 128) int32
+        sh = sh_ref[0]                                    # (sub, 128) int32
         if pair is not None:
             # two row planes (this line / next line): pre-fill the scratch
             # with their logical concatenation, then run the funnel fully
@@ -104,22 +104,40 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
             if S > W1 + W2:
                 al_s[pl.ds(W1 + W2, S - W1 - W2)] = jnp.zeros(
                     (S - W1 - W2,) + sh.shape, jnp.int8)
+        # Block rebase + residual-gated funnel.  In steady state the hsync
+        # chase is locked, so all rows of a block share their high shift
+        # bits; one copy pass at the block-min shift (dynamic major-dim
+        # offset — free in this tiling) plus funnel passes over the
+        # RESIDUAL sh - smin leaves only ~log2(jitter) live passes.  Each
+        # pass is gated on the residual max actually needing that bit, so
+        # acquisition frames simply run more passes — bit-exact always.
+        smin = jnp.min(sh)
+        r = sh - smin
+        rmax = jnp.max(r)
+        src0 = al_s if pair is not None else sig_ref
+        n_live = (T + rmax + C - 1) // C    # reads <= T+max_shift+C-1 < S
+
+        def rpass(c, z):
+            t0 = c * C
+            al_s[pl.ds(t0, C)] = src0[pl.ds(t0 + smin, C)]
+            return z
+
+        lax.fori_loop(0, n_live, rpass, 0)
         for kb in range(bits - 1, -1, -1):
             off = 1 << kb
-            n = -(-(T + off - 1) // C)
-            m = ((sh >> kb) & 1) == 1                     # (S, 128) bool
-            src = al_s if (pair is not None or kb < bits - 1) else sig_ref
+            n_cap = -(-(T + off - 1) // C)
+            m = ((r >> kb) & 1) == 1                      # (sub, 128) bool
+            n_dyn = jnp.where(rmax >= off,
+                              jnp.minimum(n_cap, n_live), 0)
 
-            def fpass(c, z, off=off, m=m, src=src):
+            def fpass(c, z, off=off, m=m):
                 t0 = c * C
-                a = src[pl.ds(t0 + off, C)]
-                b = src[pl.ds(t0, C)]
+                a = al_s[pl.ds(t0 + off, C)]
+                b = al_s[pl.ds(t0, C)]
                 al_s[pl.ds(t0, C)] = jnp.where(m[None], a, b)
                 return z
 
-            lax.fori_loop(0, n, fpass, 0)
-        if bits == 0 and pair is None:
-            al_s[pl.ds(0, T)] = sig_ref[pl.ds(0, T)]
+            lax.fori_loop(0, n_dyn, fpass, 0)
         if T > av:
             # the pre-aligned formulation zero-padded av -> T; match it
             al_s[pl.ds(av, T - av)] = jnp.zeros((T - av,) + sh.shape,
