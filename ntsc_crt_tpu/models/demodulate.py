@@ -429,10 +429,12 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     # convolution + a second 106 MB blocks relayout — measured ~1.4 ms/step
     # SLOWER than this; don't redo.)
     z8 = jnp.int8(0)
-    pair = jnp.zeros((B, L, 256), jnp.int8)
+    blocksb = rows2.reshape(B, L, nblkb, 128)   # same view the hsync scan
+    pair4 = jnp.zeros((B, L, 2, 128), jnp.int8)  # reads — shared layout
     for v in range(nblkb - 1):
-        pair = pair + jnp.where((qb == v)[..., None],
-                                rows2[:, :, 128 * v:128 * v + 256], z8)
+        pair4 = pair4 + jnp.where((qb == v)[..., None, None],
+                                  blocksb[:, :, v:v + 2], z8)
+    pair = pair4.reshape(B, L, 256)
     w1 = 15 + cfg.burst_len
     gb = rb >> 4                                          # [0, 8)
     buf = jnp.zeros((B, L, w1), jnp.int8)
