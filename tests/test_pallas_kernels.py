@@ -54,20 +54,32 @@ def test_scanconv_kernel_matches_limb_matmul(rng):
     np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
 
 
-@pytest.mark.parametrize("cc,MS,pair",
-                         [(4, 37, False), (5, 37, False), (4, 700, False),
-                          (4, 700, True), (5, 300, True)])
-def test_decode_fused_matches_unfused(rng, cc, MS, pair):
+@pytest.mark.parametrize("cc,MS,pair,smode",
+                         [(4, 37, False, "random"), (5, 37, False, "random"),
+                          (4, 700, False, "random"), (4, 700, True, "random"),
+                          (5, 300, True, "random"), (4, 700, True, "locked"),
+                          (4, 700, True, "split")])
+def test_decode_fused_matches_unfused(rng, cc, MS, pair, smode):
     """The kernel consumes UNALIGNED rows + per-row shifts (the in-kernel
     alignment funnel replaces the XLA shift_rows pass); the reference path
     aligns on the host first and runs the portable stages.  MS=37 exercises
     the funnel alone; MS=700 additionally exercises the lane-aligned
     coarse pre-level (max_shift >= 2*COARSE); pair=True feeds the signal
     as two row planes (the decoder's line-l / line-l+1 split) so the
-    in-VMEM concatenation + full-depth funnel path is covered."""
+    in-VMEM concatenation + full-depth funnel path is covered.
+
+    smode pins the residual-gated funnel's edges: "locked" = every row at
+    the same nonzero shift (the steady-state hsync lock — rmax == 0, every
+    gated pass skipped, only the rebase copy runs); "split" = rows jump
+    between 0 and MS (max in-block spread — every pass live)."""
     from ntsc_crt_tpu.ops.pallas import decode_fused as df
     ext = rng.randint(-127, 128, (R, T + MS), dtype=np.int8)
-    shifts = rng.randint(0, MS + 1, R).astype(np.int32)
+    if smode == "locked":
+        shifts = np.full(R, MS - 3, np.int32)
+    elif smode == "split":
+        shifts = np.where(np.arange(R) % 2 == 0, 0, MS).astype(np.int32)
+    else:
+        shifts = rng.randint(0, MS + 1, R).astype(np.int32)
     sig = jnp.asarray(
         np.stack([ext[r, s:s + T] for r, s in enumerate(shifts)]))
     wave = jnp.asarray(rng.randint(-60000, 60000, (R, cc), dtype=np.int32))
