@@ -231,7 +231,16 @@ def _find_vsync(cfg: SystemConfig, inp2d, vsync):
     cand = posmod(vsync[:, None] + jnp.arange(-W, W, dtype=jnp.int32)[None, :],
                   cfg.vres)                              # (B, 2W)
     rows = fastpath.select_rows_batched(inp2d, cand)     # (B, 2W, H) int32
-    cum = jnp.cumsum(rows, axis=2)
+    # running integration as a triangular-ones matmul: jnp.cumsum along the
+    # lane dim of (B, 2W, H) int32 lowers to ~log2(H) misaligned shifted
+    # adds (~1 ms/step at NTSC batch 256); one MXU pass is exact here
+    # (|samples| <= 127 is bf16-exact and the f32 accumulation of <= H
+    # products stays under 2^24) and ~10x cheaper.
+    H_ = rows.shape[2]
+    dt = fastpath._mm_dtype()
+    triu = jnp.asarray(np.triu(np.ones((H_, H_), np.float32)), dt)
+    cum = jnp.einsum("bwh,hj->bwj", rows.astype(dt), triu,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
     hit = cum <= cfg.vsync_thresh * cfg.sync_level
     any_hit = jnp.any(hit, axis=2)                       # (B, 2W)
     first_j = jnp.argmax(hit, axis=2)
