@@ -331,7 +331,9 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
         iota_n = jnp.arange(nblk, dtype=jnp.int32)
 
         iota_2 = jnp.arange(2, dtype=jnp.int32)
+        iota_3 = jnp.arange(3, dtype=jnp.int32)
         iota_g = jnp.arange(16, dtype=jnp.int32)
+        iota_48 = jnp.arange(48, dtype=jnp.int32)
 
         def hstep(hsync, i):
             blk = lax.dynamic_index_in_dim(blocks, i, axis=1, keepdims=False)
@@ -346,24 +348,28 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
             bp = jnp.einsum("bkn,bnm->bkm", oh2, bl,
                             preferred_element_type=jnp.float32)
             bp = bp.reshape(B, 16, 16).astype(dt)         # (B, 256) as 16x16
-            # 16-granule pair [r>>4, r>>4 + 1] the same way
+            # 3-granule window [q2, q2+2] covers samples [16*q2, 16*q2+48)
+            # which contains the probe window [base, base+tW) for any
+            # r2 = base & 15 (r2 + tW <= 47)
             q2, r2 = r >> 4, r & 15
             oh3 = (iota_g[None, None] ==
-                   (q2[:, None] + iota_2[None])[..., None]).astype(dt)
+                   (q2[:, None] + iota_3[None])[..., None]).astype(dt)
             pair = jnp.einsum("bkg,bgm->bkm", oh3, bp,
                               preferred_element_type=jnp.float32)
-            pair = pair.reshape(B, 32).astype(dt)
-            # win[b, t] = pair[b, r2_b + t]: correlate with the r2 one-hot
-            F = jnp.pad((jnp.arange(32, dtype=jnp.int32)[None]
-                         == r2[:, None]).astype(dt), ((0, 0), (tW, 0)))
-            Fs = jnp.stack([F[:, tW - t:tW - t + 32] for t in range(tW)],
-                           axis=2)                        # (B, 32, tW)
-            win = jnp.einsum("bm,bmt->bt", pair, Fs,
-                             preferred_element_type=jnp.float32)
-            run = jnp.cumsum(win.astype(jnp.int32), axis=1)
-            hit = run <= thresh                           # first j wins
-            j = jnp.where(jnp.any(hit, axis=1),
-                          jnp.argmax(hit, axis=1).astype(jnp.int32), tW)
+            pair = pair.reshape(B, 48).astype(jnp.int32)
+            # threshold test on prefix sums directly in granule coords —
+            # no per-row window extraction (the previous 32-slice one-hot
+            # correlation was the scan body's largest fusion): the window's
+            # running sum is run(t) = S[r2+t] - S_exc[r2], first t with
+            # run <= thresh wins, fall-through keeps j = tW
+            S = jnp.cumsum(pair, axis=1)                  # (B, 48) inclusive
+            Sexc = jnp.pad(S, ((0, 0), (1, 0)))[:, :16]   # S_exc[p], p < 16
+            S0 = fastpath.onehot_pick(Sexc, r2)           # (B,)
+            hitp = ((S - S0[:, None] <= thresh)
+                    & (iota_48[None] >= r2[:, None])
+                    & (iota_48[None] < (r2 + tW)[:, None]))
+            p_star = jnp.argmax(hitp, axis=1).astype(jnp.int32)
+            j = jnp.where(jnp.any(hitp, axis=1), p_star - r2, tW)
             nxt = posmod(j - W + hsync, H)
             hsync = jnp.where(act, nxt, hsync)
             return hsync, hsync
