@@ -48,6 +48,12 @@ from ntsc_crt_tpu.parallel import spatial
 import os as _os
 _HSYNC_SCAN = _os.environ.get("NTSC_CRT_HSYNC_TABLE", "") != "1"
 
+# batch threshold between the latency-bound formulations (small B: fewer,
+# simpler ops win) and the throughput-bound ones (big B: MXU passes win) —
+# used by the vsync integration and the hsync probe window test.  Both
+# sides are pinned equal by tests/test_fastpath.py::test_batch_regime_paths.
+_BIG_BATCH = int(_os.environ.get("NTSC_CRT_BIG_BATCH", "16"))
+
 
 class MonitorParams(NamedTuple):
     """Runtime monitor knobs (struct CRT fields, crt_core.h:82-86).
@@ -231,16 +237,22 @@ def _find_vsync(cfg: SystemConfig, inp2d, vsync):
     cand = posmod(vsync[:, None] + jnp.arange(-W, W, dtype=jnp.int32)[None, :],
                   cfg.vres)                              # (B, 2W)
     rows = fastpath.select_rows_batched(inp2d, cand)     # (B, 2W, H) int32
-    # running integration as a triangular-ones matmul: jnp.cumsum along the
-    # lane dim of (B, 2W, H) int32 lowers to ~log2(H) misaligned shifted
-    # adds (~1 ms/step at NTSC batch 256); one MXU pass is exact here
-    # (|samples| <= 127 is bf16-exact and the f32 accumulation of <= H
-    # products stays under 2^24) and ~10x cheaper.
-    H_ = rows.shape[2]
-    dt = fastpath._mm_dtype()
-    triu = jnp.asarray(np.triu(np.ones((H_, H_), np.float32)), dt)
-    cum = jnp.einsum("bwh,hj->bwj", rows.astype(dt), triu,
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    if B >= _BIG_BATCH:
+        # running integration as a triangular-ones matmul: jnp.cumsum along
+        # the lane dim of (B, 2W, H) int32 lowers to ~log2(H) misaligned
+        # shifted adds (~1 ms/step at NTSC batch 256); one MXU pass is
+        # exact here (|samples| <= 127 is bf16-exact and the f32
+        # accumulation of <= H products stays under 2^24) and ~10x cheaper.
+        # At small batch the work is latency-bound and the constant-matrix
+        # load dominates — cumsum wins there (batch-1: 2.7 vs 2.9 ms).
+        H_ = rows.shape[2]
+        dt = fastpath._mm_dtype()
+        triu = jnp.asarray(np.triu(np.ones((H_, H_), np.float32)), dt)
+        cum = jnp.einsum("bwh,hj->bwj", rows.astype(dt), triu,
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.int32)
+    else:
+        cum = jnp.cumsum(rows, axis=2)
     hit = cum <= cfg.vsync_thresh * cfg.sync_level
     any_hit = jnp.any(hit, axis=2)                       # (B, 2W)
     first_j = jnp.argmax(hit, axis=2)
@@ -348,28 +360,48 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
             bp = jnp.einsum("bkn,bnm->bkm", oh2, bl,
                             preferred_element_type=jnp.float32)
             bp = bp.reshape(B, 16, 16).astype(dt)         # (B, 256) as 16x16
-            # 3-granule window [q2, q2+2] covers samples [16*q2, 16*q2+48)
-            # which contains the probe window [base, base+tW) for any
-            # r2 = base & 15 (r2 + tW <= 47)
             q2, r2 = r >> 4, r & 15
-            oh3 = (iota_g[None, None] ==
-                   (q2[:, None] + iota_3[None])[..., None]).astype(dt)
-            pair = jnp.einsum("bkg,bgm->bkm", oh3, bp,
-                              preferred_element_type=jnp.float32)
-            pair = pair.reshape(B, 48).astype(jnp.int32)
-            # threshold test on prefix sums directly in granule coords —
-            # no per-row window extraction (the previous 32-slice one-hot
-            # correlation was the scan body's largest fusion): the window's
-            # running sum is run(t) = S[r2+t] - S_exc[r2], first t with
-            # run <= thresh wins, fall-through keeps j = tW
-            S = jnp.cumsum(pair, axis=1)                  # (B, 48) inclusive
-            Sexc = jnp.pad(S, ((0, 0), (1, 0)))[:, :16]   # S_exc[p], p < 16
-            S0 = fastpath.onehot_pick(Sexc, r2)           # (B,)
-            hitp = ((S - S0[:, None] <= thresh)
-                    & (iota_48[None] >= r2[:, None])
-                    & (iota_48[None] < (r2 + tW)[:, None]))
-            p_star = jnp.argmax(hitp, axis=1).astype(jnp.int32)
-            j = jnp.where(jnp.any(hitp, axis=1), p_star - r2, tW)
+            if B >= _BIG_BATCH:
+                # 3-granule window [q2, q2+2] covers samples
+                # [16*q2, 16*q2+48), which contains the probe window
+                # [base, base+tW) for any r2 = base & 15 (r2 + tW <= 47).
+                # Threshold test on prefix sums directly in granule coords
+                # — no per-row window extraction (the 32-slice one-hot
+                # correlation below was the scan body's largest fusion at
+                # big batch): run(t) = S[r2+t] - S_exc[r2], first t with
+                # run <= thresh wins, fall-through keeps j = tW.
+                oh3 = (iota_g[None, None] ==
+                       (q2[:, None] + iota_3[None])[..., None]).astype(dt)
+                pair = jnp.einsum("bkg,bgm->bkm", oh3, bp,
+                                  preferred_element_type=jnp.float32)
+                pair = pair.reshape(B, 48).astype(jnp.int32)
+                S = jnp.cumsum(pair, axis=1)              # (B, 48) inclusive
+                Sexc = jnp.pad(S, ((0, 0), (1, 0)))[:, :16]   # S_exc[p<16]
+                S0 = fastpath.onehot_pick(Sexc, r2)       # (B,)
+                hitp = ((S - S0[:, None] <= thresh)
+                        & (iota_48[None] >= r2[:, None])
+                        & (iota_48[None] < (r2 + tW)[:, None]))
+                p_star = jnp.argmax(hitp, axis=1).astype(jnp.int32)
+                j = jnp.where(jnp.any(hitp, axis=1), p_star - r2, tW)
+            else:
+                # latency-bound small batch: 16-granule pair + one-hot
+                # window correlation (fewer, simpler fusions per line)
+                oh3 = (iota_g[None, None] ==
+                       (q2[:, None] + iota_2[None])[..., None]).astype(dt)
+                pair = jnp.einsum("bkg,bgm->bkm", oh3, bp,
+                                  preferred_element_type=jnp.float32)
+                pair = pair.reshape(B, 32).astype(dt)
+                # win[b, t] = pair[b, r2_b + t]
+                F = jnp.pad((jnp.arange(32, dtype=jnp.int32)[None]
+                             == r2[:, None]).astype(dt), ((0, 0), (tW, 0)))
+                Fs = jnp.stack([F[:, tW - t:tW - t + 32] for t in range(tW)],
+                               axis=2)                    # (B, 32, tW)
+                win = jnp.einsum("bm,bmt->bt", pair, Fs,
+                                 preferred_element_type=jnp.float32)
+                run = jnp.cumsum(win.astype(jnp.int32), axis=1)
+                hit = run <= thresh                       # first j wins
+                j = jnp.where(jnp.any(hit, axis=1),
+                              jnp.argmax(hit, axis=1).astype(jnp.int32), tW)
             nxt = posmod(j - W + hsync, H)
             hsync = jnp.where(act, nxt, hsync)
             return hsync, hsync

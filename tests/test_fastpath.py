@@ -154,3 +154,32 @@ def test_profile_stages_smoke():
                                    iters=1)
     assert set(res) == {"modulate", "demodulate", "step"}
     assert all(v > 0 for v in res.values())
+
+
+def test_batch_regime_paths(monkeypatch):
+    """The vsync integration and the hsync probe pick their formulation by
+    batch size (_BIG_BATCH: MXU/prefix-sum forms for throughput, simpler
+    fusions for latency).  Force BOTH regimes at the same batch and assert
+    the full decode step is bit-identical."""
+    from ntsc_crt_tpu.models import demodulate as dem
+    from ntsc_crt_tpu.models import pipeline
+    from ntsc_crt_tpu.models.systems import NTSC
+    from ntsc_crt_tpu.parallel import mesh as pmesh
+
+    B = 4
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randint(0, 256, (B, 96, 128, 3), np.uint8))
+    fields = jnp.asarray(np.arange(B) % 2, jnp.int32)
+    z = jnp.zeros((B,), jnp.int32)
+
+    outs = {}
+    for name, thresh in (("small", 999), ("big", 1)):
+        monkeypatch.setattr(dem, "_BIG_BATCH", thresh)
+        states = pmesh.init_batch(NTSC, B, 160, 120)
+        step = pmesh.make_batched_step(NTSC, noise=11, donate=False)
+        s = step(states, imgs, fields, z, z)
+        s = step(s, imgs, fields ^ 1, z, z)      # second frame: carried state
+        outs[name] = jax.tree.leaves(s)
+
+    for a, b in zip(outs["small"], outs["big"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
