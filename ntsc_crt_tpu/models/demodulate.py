@@ -454,10 +454,10 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     # --- burst windows for every line: gather-free block-pair select -------
     # (was a wide shift_rows over (B*L, H+PAD) rows — the masked radix stack
     # plus its batch-minor relayout copies cost ~1 ms/step at batch 256; the
-    # burst base is known for every line once the chase ran, so the same
-    # two-stage one-hot select the hsync probe uses pulls the burst_len
-    # samples with two tiny MXU contractions over the SAME blocks view,
-    # no extra layout of the padded rows)
+    # burst base is known for every line once the chase ran, so three
+    # masked-select stages — 128-block pair, 16-granule, in-granule —
+    # pull the burst_len samples over the SAME blocks view the hsync scan
+    # reads, with no extra layout of the padded rows)
     if CC == 4:
         bbase = (hsync_l & ~3) + cfg.cb_beg               # crt_core.c:458
     else:
