@@ -10,20 +10,27 @@ bit-exact integer results:
 1. **Noise injection** — the serial LCG becomes one closed-form parallel
    pass (ops/lcg.py), carried as int8.
 2. **VSYNC recovery** — the goto-on-threshold scan (crt_core.c:379-397)
-   becomes a cumulative sum over the candidate rows (a one-hot matmul row
-   select) plus a first-below-threshold argmax with the reference's
-   tie-breaking (first line, then first sample; fall-through keeps the last
-   candidate and j == HRES so the odd-field test still matches).
+   becomes running sums over the candidate rows (a one-hot matmul row
+   select; the integration itself is a triangular-ones MXU matmul at
+   throughput batch sizes, a cumsum at latency ones) plus a
+   first-below-threshold argmax with the reference's tie-breaking (first
+   line, then first sample; fall-through keeps the last candidate and
+   j == HRES so the odd-field test still matches).
 3. **Per-line sequential state** (hsync chained line to line, color-carrier
    EMA `ccf`) — a lax.scan over the active lines, vectorized across the
-   batch inside each step.
-4. **Line extraction** — per-line shifted reads become a scalar row-roll
-   plus a grouped one-hot conv (MXU) over the flattened (batch x line) rows.
-5. **YIQ + 3-band EQ** — x-serial, row-parallel Pallas kernels
-   (ops/pallas/filters_pallas.py).
-6. **Scan conversion** — the fixed-point lerp is an exact int8-limb matmul;
-   blend and scanline duplication resolve as a "last writer wins" row select
-   (exact whenever outh >= active lines; see _place_rows).
+   batch inside each step; the hsync window is probed on demand with
+   gather-free block-pair selects.
+4. **Line extraction** — ONE shared row-roll (a batched one-hot matmul)
+   serves the hsync scan and the extraction rows; the per-line sample
+   alignment happens inside the fused decode kernel, where the sample axis
+   is the major block dim (ops/pallas/decode_fused.py).  The portable
+   path uses mixed-radix masked shifts (ops/fastpath.shift_rows).
+5. **YIQ + 3-band EQ + scan conversion** — one fused x-serial,
+   row-parallel Pallas kernel (decode_fused); standalone kernels and an
+   exact int8-limb matmul lerp back the portable/bloom paths.
+6. **Row placement** — blend and scanline duplication resolve as
+   elementwise selects in a stacked (line, repeat) view of the output
+   (see _place_rows).
 """
 
 from __future__ import annotations
