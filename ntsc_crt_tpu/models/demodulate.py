@@ -847,6 +847,16 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
     fp = ((((outh << 16) // L) + 32768) >> 16) // 2
 
     if outh == ratio * L:
+        if filters._use_pallas() and not spatial.active():
+            # single-pass Pallas store kernel: emits the final interleaved
+            # output directly (strided slot-plane DMA), replacing the three
+            # XLA elementwise passes below (docs/PERF.md "row placement").
+            # Gated off under spatial line-sharding: the odd-field row shift
+            # needs line k-1, a cross-shard halo the XLA form handles.
+            from ntsc_crt_tpu.ops.pallas import place_rows as _pr
+            return _pr.place_rows_uniform(
+                rgb8, old, field_px, blend=blend, scanlines=scanlines,
+                ratio=ratio, fp=fp, interpret=filters._pallas_interpret())
         # stacked single-pass form: view the output as (L, ratio) row
         # groups.  Output row r = ratio*k + j reads rgb[k - (j < f)] (f the
         # per-slot field shift), blends against old[beg = f + ratio*(that

@@ -1,0 +1,113 @@
+"""Pallas TPU kernel for uniform row placement (scan-conversion store).
+
+The reference writes each decoded line into the output at `beg`, memcpy-
+duplicates it up to `end - scanlines`, optionally 50/50-blending against the
+previous frame's contents (crt_core.c:552-664).  The XLA formulation
+(models/demodulate.py::_place_rows_uniform, stacked branch) is bit-exact but
+XLA materializes it as three ~full-output elementwise passes (two slot
+selects + the stacked interleave; docs/PERF.md "row placement"), ~1.8 ms/step
+at batch 256 — pure HBM traffic.
+
+This kernel emits the final interleaved output in ONE HBM pass: grid (B,) —
+each step loads one batch element's decoded lines (L, w3) and previous output
+viewed as (L, ratio, w3), computes every slot plane with the same static
+select/blend logic as the XLA form, and stores them through strided VMEM
+writes into the whole-group output block, which DMAs back contiguous.  Total
+traffic is the lower bound: rgb + old read, out write — nothing else.
+
+The whole line dim L rides one block, so the odd-field row shift
+(line k reads line k-1 for slots j < fp, crt_core.c:404-407 via the
+field_px offset) is a VMEM-local concat — no halo, which is also why this
+kernel is gated off under spatial line-sharding (the XLA form handles that
+regime; parallel/spatial.py:16-18).
+
+Bit-exactness: identical select/blend arithmetic to _place_rows_uniform
+(values stay < 256; the 50/50 blend is (c>>1)+(o>>1) <= 254), asserted
+exhaustively against it in interpret mode over ratio/blend/scanlines/field
+combinations (tests/test_pallas_kernels.py) and on-device by the bench
+tpu_parity goldens.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(fld_ref, rgb_ref, old_ref, out_ref, *,
+            blend: int, scanlines: int, ratio: int, fp: int, L: int):
+    fb = fld_ref[pl.program_id(0)] > 0       # this element's field bit
+
+    rgb = rgb_ref[0]                         # (L, w3) uint8
+    if fp:
+        rgbm1 = jnp.concatenate([rgb[:1], rgb[:-1]], axis=0)
+    if blend:
+        ob0 = old_ref[0, :, 0, :]            # slot-0 beg rows (even field)
+        if fp:
+            obf = old_ref[0, :, fp, :]       # slot-fp beg rows (odd field)
+            obfm1 = jnp.concatenate([obf[:1], obf[:-1]], axis=0)
+
+    kidx = lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    for j in range(ratio):
+        shift_j = fp > 0 and j < fp          # slot reads line k-1 (odd field)
+        src = jnp.where(fb, rgbm1, rgb) if shift_j else rgb
+        if blend:
+            if fp:
+                old_beg = jnp.where(fb, obfm1 if shift_j else obf, ob0)
+            else:
+                old_beg = ob0
+            # Mosaic has no 8-bit vector add: widen in-register (the VMEM
+            # traffic stays u8); (c>>1)+(o>>1) <= 254 so the u8 store is exact
+            src = ((src.astype(jnp.int32) >> 1) +
+                   (old_beg.astype(jnp.int32) >> 1)).astype(jnp.uint8)
+        # scanline-gap mask: the slot keeps the previous contents when its
+        # row index relative to the (possibly field-shifted) group start
+        # falls in the last `scanlines` rows of the group (crt_core.c:661-664)
+        ks = jnp.where(fb, ((j - fp) % ratio) >= ratio - scanlines,
+                       j >= ratio - scanlines)
+        keep = jnp.broadcast_to(ks, (L, 1))
+        if fp > 0 and j < fp:
+            # rows with rel < 0 under the odd-field shift keep old (group 0)
+            keep = keep | ((kidx == 0) & fb)
+        if fp > 0 and j > fp and j >= ratio - scanlines:
+            # bottom clip (crt_core.c:432): the last group's duplicate slots
+            # stay untouched under the odd-field shift
+            keep = keep | ((kidx == L - 1) & fb)
+        out_ref[0, :, j, :] = jnp.where(keep, old_ref[0, :, j, :], src)
+
+
+@functools.partial(jax.jit, static_argnames=("blend", "scanlines", "ratio",
+                                             "fp", "interpret"))
+def place_rows_uniform(rgb8, old, field_px, *, blend: int, scanlines: int,
+                       ratio: int, fp: int, interpret: bool = False):
+    """rgb8: (B, L, w, 3) uint8 decoded lines; old: (B, ratio*L, w, 3) uint8
+    previous output; field_px: (B,) int32 (>0 = odd field).  Returns the new
+    (B, ratio*L, w, 3) uint8 output.  blend/scanlines/ratio/fp static, as
+    guaranteed by the uniform gate (demodulate.py::_place_rows)."""
+    B, L, w, _ = rgb8.shape
+    w3 = w * 3
+    rgb = rgb8.reshape(B, L, w3)
+    old4 = old.reshape(B, L, ratio, w3)
+
+    kern = functools.partial(_kernel, blend=int(blend),
+                             scanlines=int(scanlines), ratio=int(ratio),
+                             fp=int(fp), L=L)
+    grp = pl.BlockSpec((1, L, ratio, w3), lambda b: (b, 0, 0, 0))
+    out = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (B,) field vector
+            pl.BlockSpec((1, L, w3), lambda b: (b, 0, 0)),
+            grp,
+        ],
+        out_specs=grp,
+        out_shape=jax.ShapeDtypeStruct((B, L, ratio, w3), jnp.uint8),
+        interpret=interpret,
+    )(field_px.astype(jnp.int32), rgb, old4)
+    return out.reshape(B, ratio * L, w, 3)

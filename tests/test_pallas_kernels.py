@@ -217,3 +217,34 @@ def test_encode_fused_rgb_mode_matches_host_yiq(rng, cc):
         modI, modQ, gain, base,
         coefs=(cY, cI, cQ), xo_mod=1, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ratio", [1, 2, 3])
+@pytest.mark.parametrize("blend", [0, 1])
+def test_place_rows_kernel_matches_stacked(rng, ratio, blend):
+    """The Pallas placement kernel (interpret) is bit-identical to the XLA
+    stacked form of _place_rows_uniform across repeat factors, blend,
+    scanline gaps, and mixed field bits (docs/PERF.md 'row placement')."""
+    import os
+    from ntsc_crt_tpu.ops.pallas import place_rows as pr
+
+    B, L, w = 4, 6, 9
+    outh = ratio * L
+    fp = ratio // 2
+    field_px = jnp.asarray(np.array([0, 1, 0, 1], np.int32) * fp)
+    for scanlines in range(ratio):
+        rgb = jnp.asarray(
+            rng.randint(0, 256, (B, L, w, 3), np.int32))
+        old = jnp.asarray(
+            rng.randint(0, 256, (B, outh, w, 3), np.uint8))
+        os.environ["NTSC_CRT_FORCE_SCAN"] = "1"  # XLA stacked reference
+        try:
+            ref = dem._place_rows_uniform(cfg, rgb, old, field_px, blend,
+                                          scanlines, outh, ratio)
+        finally:
+            os.environ.pop("NTSC_CRT_FORCE_SCAN", None)
+        got = pr.place_rows_uniform(
+            jnp.asarray(rgb, jnp.uint8), old, field_px, blend=blend,
+            scanlines=scanlines, ratio=ratio, fp=fp, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"sl={scanlines}")
