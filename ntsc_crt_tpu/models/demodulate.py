@@ -35,6 +35,7 @@ bit-exact integer results:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -847,12 +848,16 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
     fp = ((((outh << 16) // L) + 32768) >> 16) // 2
 
     if outh == ratio * L:
-        if filters._use_pallas() and not spatial.active():
-            # single-pass Pallas store kernel: emits the final interleaved
-            # output directly (strided slot-plane DMA), replacing the three
-            # XLA elementwise passes below (docs/PERF.md "row placement").
-            # Gated off under spatial line-sharding: the odd-field row shift
-            # needs line k-1, a cross-shard halo the XLA form handles.
+        if (filters._use_pallas() and not spatial.active()
+                and os.environ.get("NTSC_CRT_PLACE_KERNEL")):
+            # single-pass Pallas store kernel (ops/pallas/place_rows.py):
+            # emits the final interleaved output directly.  OPT-IN ONLY —
+            # measured a 25% end-to-end REGRESSION vs the stacked XLA form
+            # on v5e (PV1K 7,574 vs 10,044 fps/chip; the (B,)-grid's
+            # per-step strided slot stores lose to XLA's fused elementwise
+            # passes — docs/PERF.md r3 negatives).  Kept for future work on
+            # multi-row grid blocking; bit-exactness still asserted in
+            # interpret mode (tests/test_pallas_kernels.py).
             from ntsc_crt_tpu.ops.pallas import place_rows as _pr
             return _pr.place_rows_uniform(
                 rgb8, old, field_px, blend=blend, scanlines=scanlines,

@@ -15,6 +15,12 @@ select/blend logic as the XLA form, and stores them through strided VMEM
 writes into the whole-group output block, which DMAs back contiguous.  Total
 traffic is the lower bound: rgb + old read, out write — nothing else.
 
+STATUS: OPT-IN ONLY (NTSC_CRT_PLACE_KERNEL=1).  On-device A/B at 640x480
+batch 256 measured a 25% end-to-end regression vs the stacked XLA form
+(PV1K 7,574 vs 10,044 fps/chip): the lower-bound HBM traffic does not pay
+for losing XLA's cross-op fusion around the (B,)-grid's per-step strided
+slot stores.  See docs/PERF.md r3 negative results.
+
 The whole line dim L rides one block, so the odd-field row shift
 (line k reads line k-1 for slots j < fp, crt_core.c:404-407 via the
 field_px offset) is a VMEM-local concat — no halo, which is also why this
@@ -62,9 +68,13 @@ def _kernel(fld_ref, rgb_ref, old_ref, out_ref, *,
             else:
                 old_beg = ob0
             # Mosaic has no 8-bit vector add: widen in-register (the VMEM
-            # traffic stays u8); (c>>1)+(o>>1) <= 254 so the u8 store is exact
-            src = ((src.astype(jnp.int32) >> 1) +
-                   (old_beg.astype(jnp.int32) >> 1)).astype(jnp.uint8)
+            # traffic stays u8); (c>>1)+(o>>1) <= 254 so the u8 store is
+            # exact.  int16, not int32: the widened (L, w3) temporaries are
+            # the kernel's scoped-vmem stack, and at 640x480 shapes
+            # (w3=1920, L=240) the int32 form blew the 16 MB scoped limit
+            # (21.93M requested) in the driver's compile environment.
+            src = ((src.astype(jnp.int16) >> 1) +
+                   (old_beg.astype(jnp.int16) >> 1)).astype(jnp.uint8)
         # scanline-gap mask: the slot keeps the previous contents when its
         # row index relative to the (possibly field-shifted) group start
         # falls in the last `scanlines` rows of the group (crt_core.c:661-664)
@@ -108,6 +118,10 @@ def place_rows_uniform(rgb8, old, field_px, *, blend: int, scanlines: int,
         ],
         out_specs=grp,
         out_shape=jax.ShapeDtypeStruct((B, L, ratio, w3), jnp.uint8),
+        # headroom for the widened blend temporaries at large (L, ratio, w3)
+        # blocks — the default 16 MB scoped limit is too tight at 640x480+
+        # geometries (v5e VMEM is 128 MB; the blocks themselves are ~5 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(field_px.astype(jnp.int32), rgb, old4)
     return out.reshape(B, ratio * L, w, 3)
