@@ -99,6 +99,19 @@ def _eq_coefs(cfg: SystemConfig):
 # ---------------------------------------------------------------------------
 
 
+def _row_major(x):
+    """Experimental (NTSC_CRT_LAYOUT_OPT=1): pin a (B, V, H) intermediate to
+    row-major physical layout.  XLA's layout assignment stores the analog
+    signal batch-minor ({0,1,2}) to suit the elementwise noise/skeleton
+    passes, then pays a ~244 MB relayout copy per step when the decode
+    path's blocks views need row-major (docs/PERF.md encode/decode layout
+    copies)."""
+    if x.ndim == 3 and os.environ.get("NTSC_CRT_LAYOUT_OPT"):
+        from jax.experimental.layout import Layout, with_layout_constraint
+        return with_layout_constraint(x, Layout(major_to_minor=(0, 1, 2)))
+    return x
+
+
 def _inject_noise(cfg: SystemConfig, analog2d, rn, noise):
     """crt_core.c:346-367, batched: analog2d (B, V, H) int8, rn (B,).
 
@@ -118,7 +131,7 @@ def _inject_noise(cfg: SystemConfig, analog2d, rn, noise):
         jnp.asarray(apow[-1]) * rn0[:, 0, 0] + jnp.asarray(csum[-1]),
         jnp.int32)
     s = analog2d + ((byte * noise[:, None, None]) >> 8)
-    return jnp.clip(s, -127, 127).astype(jnp.int8), rn_out
+    return _row_major(jnp.clip(s, -127, 127).astype(jnp.int8)), rn_out
 
 
 def _inject_noise_vhs(cfg: SystemConfig, analog_flat, randstate, noise):
