@@ -36,8 +36,11 @@ def _inputs(system, cfg, batch, w=320, h=240):
     return img
 
 
-def bench_system(system: str, batch: int, iters: int, outw=640, outh=480):
-    """Steady-state encode+decode throughput for one system preset."""
+def bench_system(system: str, batch: int, iters: int, outw=640, outh=480,
+                 **step_kw):
+    """Steady-state encode+decode throughput for one system preset.
+    step_kw (do_bloom=True, eq_mode="conv7", ...) benches the reference's
+    compile-time build-variant modes."""
     import jax
     import jax.numpy as jnp
     from ntsc_crt_tpu.models.systems import SYSTEMS
@@ -48,7 +51,7 @@ def bench_system(system: str, batch: int, iters: int, outw=640, outh=480):
             f"unknown system {system!r}; choose from {sorted(SYSTEMS)}")
     cfg = SYSTEMS[system]
     states = pmesh.init_batch(cfg, batch, outw, outh)
-    step = pmesh.make_batched_step(cfg, noise=12)
+    step = pmesh.make_batched_step(cfg, noise=12, **step_kw)
 
     imgs = jnp.asarray(_inputs(system, cfg, batch))
     fields = jnp.zeros((batch,), jnp.int32)
@@ -216,14 +219,26 @@ def main():
         return
 
     if args.all:
+        # seven base systems + the variant presets (NTSC_RAINBOW's 912-wide
+        # line exercises different padding/tiling; LP/EP different
+        # bandwidth coefs) + the bloom / conv-EQ decode build modes
         systems = ["NTSC", "NTSCVHS", "SNES", "TEMPLATE", "NESRGB", "NES",
-                   "PV1K"]
+                   "PV1K", "NTSC_RAINBOW", "NTSCVHS_LP", "NTSCVHS_EP"]
+        modes = [("ntsc_bloom", "NTSC", dict(do_bloom=True)),
+                 ("ntsc_conv7", "NTSC", dict(eq_mode="conv7"))]
         results = [{"metric": "tpu_parity", "value": check_device_parity(),
                     "unit": "bitexact_vs_cpu_goldens", "vs_baseline": 1.0}]
         print(json.dumps(results[0]), flush=True)
         for s in systems:
             fps = bench_system(s, batch, iters)
             rec = {"metric": f"{s.lower()}_encode_decode_640x480",
+                   "value": round(fps, 1), "unit": "frames/sec/chip",
+                   "vs_baseline": round(fps / TARGET_FPS, 3)}
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+        for name, s, kw in modes:
+            fps = bench_system(s, batch, iters, **kw)
+            rec = {"metric": f"{name}_encode_decode_640x480",
                    "value": round(fps, 1), "unit": "frames/sec/chip",
                    "vs_baseline": round(fps / TARGET_FPS, 3)}
             print(json.dumps(rec), flush=True)

@@ -48,6 +48,15 @@ class LiveSession:
     dot_crawl_offset: int = 0
     v_fac: int = 0               # vertical stretch (crt_core.h:86); static —
     #                              set at construction like outw/outh
+    # build-variant modes (compile-time in the reference; static here —
+    # set at construction, like v_fac, since the jitted step bakes them in):
+    do_bloom: bool = False       # CRT_DO_BLOOM (crt_core.h:70)
+    eq_mode: str = "threeband"   # USE_CONVOLUTION conv7/6/5/4 (crt_core.c:85)
+    do_vsync: bool = True        # CRT_DO_VSYNC (crt_core.h:71)
+    do_hsync: bool = True        # CRT_DO_HSYNC (crt_core.h:72)
+    draw_border: bool = False    # NES_BORDER (crt_nes.c:69)
+    border_color: int = 0
+    optimized: bool = True       # NES_OPTIMIZED (crt_nes.c:63)
 
     def __post_init__(self):
         self.state = pipeline.crt_init(self.cfg, self.outw, self.outh)
@@ -61,6 +70,13 @@ class LiveSession:
         self._knobs = None
         self._dirty = True
         self._loop = None
+
+    def _mode_kw(self) -> dict:
+        """Static build-variant kwargs forwarded to pipeline.step."""
+        return dict(do_bloom=self.do_bloom, eq_mode=self.eq_mode,
+                    do_vsync=self.do_vsync, do_hsync=self.do_hsync,
+                    draw_border=self.draw_border,
+                    border_color=self.border_color, optimized=self.optimized)
 
     def _mon(self) -> MonitorParams:
         return MonitorParams(
@@ -81,7 +97,7 @@ class LiveSession:
         return pipeline.step(self.cfg, state, img, field=field, frame=frame,
                              hue=hue, noise=noise, mon=mon, as_color=as_color,
                              raw=raw, dot_crawl_offset=dco,
-                             v_fac=self.v_fac)
+                             v_fac=self.v_fac, **self._mode_kw())
 
     def tick(self, img) -> np.ndarray:
         """One display frame (displaycb, crt_main.c:454-497).
@@ -133,7 +149,8 @@ class LiveSession:
         state = pipeline.step(self.cfg, state, imgj, field=field, frame=frame,
                               hue=knobs[9], noise=knobs[10], mon=mon,
                               as_color=knobs[11], raw=raw,
-                              dot_crawl_offset=dco, v_fac=self.v_fac)
+                              dot_crawl_offset=dco, v_fac=self.v_fac,
+                              **self._mode_kw())
         if not (progressive or self.cfg.progressive):
             field = field ^ 1                 # crt_main.c:492-494
         loop = jnp.stack([field, frame, dco])

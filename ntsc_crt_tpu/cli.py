@@ -2,12 +2,16 @@
 (crt_main.c:37-283) and `ntsc_video` batch converter
 (extra/video_convert.c:149-281).
 
-    ntsc [-s SYSTEM] [--fmt FMT] [--vfac N] \\
+    ntsc [-s SYSTEM] [--fmt FMT] [--vfac N] [--bloom] [--eq MODE] \\
+         [--no-vsync] [--no-hsync] \\
          -m|o|f|p|r|h|a outwidth outheight noise artifact_hue infile outfile
     ntsc-video [-s system] [-a] [-l scanlines] [-p] [--vfac N] \\
-               nframes framedir outdir
+               [--bloom] [--eq MODE] nframes framedir outdir
 
 --vfac sets the vertical stretch factor (struct CRT v_fac, crt_core.h:86).
+--bloom / --eq conv7|conv6|conv5|conv4 / --no-vsync / --no-hsync select the
+reference's compile-time build variants (CRT_DO_BLOOM crt_core.h:70,
+USE_CONVOLUTION crt_core.c:85-147, CRT_DO_VSYNC/HSYNC crt_core.h:71-72).
 
 The image-convert driver accumulates 4 frames with blend=1 scanlines=1,
 toggling field/frame parity for interlace (crt_main.c:235-255).
@@ -30,14 +34,15 @@ import numpy as np
 
 
 def _build_step(cfg, outw, outh, noise, mon, *, as_color=1, raw=False,
-                v_fac=0):
+                v_fac=0, **mode_kw):
     import jax
     from ntsc_crt_tpu.models import pipeline
 
     def fn(state, img, field, frame, dco, hue):
         return pipeline.step(cfg, state, img, field=field, frame=frame,
                              hue=hue, noise=noise, mon=mon, as_color=as_color,
-                             raw=raw, dot_crawl_offset=dco, v_fac=v_fac)
+                             raw=raw, dot_crawl_offset=dco, v_fac=v_fac,
+                             **mode_kw)
 
     return jax.jit(fn)
 
@@ -45,8 +50,18 @@ def _build_step(cfg, outw, outh, noise, mon, *, as_color=1, raw=False,
 def main(argv=None):
     argv = list(argv) if argv is not None else sys.argv[1:]
 
-    system, fmt_name, v_fac = "NTSC", "rgb", 0
-    for opt in ("-s", "--fmt", "--vfac"):
+    system, fmt_name, v_fac, eq_mode = "NTSC", "rgb", 0, "threeband"
+    do_bloom = do_vsync = do_hsync = None
+    for flag in ("--bloom", "--no-vsync", "--no-hsync"):
+        if flag in argv:
+            argv.remove(flag)
+            if flag == "--bloom":       # CRT_DO_BLOOM build (crt_core.h:70)
+                do_bloom = True
+            elif flag == "--no-vsync":  # CRT_DO_VSYNC=0 (crt_core.h:71)
+                do_vsync = False
+            else:                       # CRT_DO_HSYNC=0 (crt_core.h:72)
+                do_hsync = False
+    for opt in ("-s", "--fmt", "--vfac", "--eq"):
         if opt in argv:
             i = argv.index(opt)
             val = argv[i + 1]
@@ -55,6 +70,8 @@ def main(argv=None):
                 system = val.upper()
             elif opt == "--vfac":
                 v_fac = int(val)    # vertical stretch, crt_core.h:86
+            elif opt == "--eq":     # USE_CONVOLUTION builds (crt_core.c:85)
+                eq_mode = val.lower()
             else:
                 fmt_name = val.lower()
     if system == "NES":
@@ -101,7 +118,9 @@ def main(argv=None):
     state = pipeline.crt_init(cfg, outw, outh)
     step = _build_step(cfg, outw, outh, np.int32(noise), mon,
                        as_color=np.int32(1 if docolor else 0), raw=raw,
-                       v_fac=v_fac)
+                       v_fac=v_fac, do_bloom=bool(do_bloom), eq_mode=eq_mode,
+                       do_vsync=do_vsync is not False,
+                       do_hsync=do_hsync is not False)
 
     imgj = jnp.asarray(img)
     frame = 0
@@ -150,6 +169,11 @@ def video_main(argv=None):
     ap.add_argument("-H", "--outh", type=int, default=480)
     ap.add_argument("--vfac", type=int, default=0,
                     help="vertical stretch factor (crt_core.h:86)")
+    ap.add_argument("--bloom", action="store_true",
+                    help="CRT_DO_BLOOM beam-energy bloom (crt_core.h:70)")
+    ap.add_argument("--eq", default="threeband",
+                    choices=["threeband", "conv7", "conv6", "conv5", "conv4"],
+                    help="decode EQ: 3-band or USE_CONVOLUTION FIR builds")
     args = ap.parse_args(argv)
 
     import concurrent.futures as cf
@@ -173,7 +197,8 @@ def video_main(argv=None):
                              noise=np.int32(args.noise), mon=mon,
                              dot_crawl_offset=dco,
                              do_aberration=np.int32(1 if args.aberration else 0),
-                             v_fac=args.vfac)
+                             v_fac=args.vfac, do_bloom=args.bloom,
+                             eq_mode=args.eq)
 
     stepfn = jax.jit(stepfn)
 

@@ -53,14 +53,13 @@ from ntsc_crt_tpu.parallel import spatial
 # hsync recovery strategy: on-demand window probes inside the line scan
 # (default) vs the all-candidates first-hit table.  Both are bit-exact; the
 # table is kept selectable for A/B measurement (NTSC_CRT_HSYNC_TABLE=1).
-import os as _os
-_HSYNC_SCAN = _os.environ.get("NTSC_CRT_HSYNC_TABLE", "") != "1"
+_HSYNC_SCAN = os.environ.get("NTSC_CRT_HSYNC_TABLE", "") != "1"
 
 # batch threshold between the latency-bound formulations (small B: fewer,
 # simpler ops win) and the throughput-bound ones (big B: MXU passes win) —
 # used by the vsync integration and the hsync probe window test.  Both
 # sides are pinned equal by tests/test_fastpath.py::test_batch_regime_paths.
-_BIG_BATCH = int(_os.environ.get("NTSC_CRT_BIG_BATCH", "16"))
+_BIG_BATCH = int(os.environ.get("NTSC_CRT_BIG_BATCH", "16"))
 
 
 class MonitorParams(NamedTuple):
@@ -105,10 +104,19 @@ def _row_major(x):
     signal batch-minor ({0,1,2}) to suit the elementwise noise/skeleton
     passes, then pays a ~244 MB relayout copy per step when the decode
     path's blocks views need row-major (docs/PERF.md encode/decode layout
-    copies)."""
-    if x.ndim == 3 and os.environ.get("NTSC_CRT_LAYOUT_OPT"):
-        from jax.experimental.layout import Layout, with_layout_constraint
-        return with_layout_constraint(x, Layout(major_to_minor=(0, 1, 2)))
+    copies).
+
+    Needs jax >= 0.9 (`jax.experimental.layout.Layout` — the API was renamed
+    from DeviceLocalLayout); degrades to identity on older/newer versions
+    that moved it again, and is skipped under spatial sharding (the bare
+    Layout constraint carries no sharding)."""
+    if x.ndim == 3 and os.environ.get("NTSC_CRT_LAYOUT_OPT") \
+            and not spatial.active():
+        try:
+            from jax.experimental.layout import Layout, with_layout_constraint
+            return with_layout_constraint(x, Layout(major_to_minor=(0, 1, 2)))
+        except (ImportError, TypeError):  # renamed-again upstream: no-op
+            return x
     return x
 
 
@@ -333,7 +341,28 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     rows2 = jnp.concatenate([rolled[:, :L],
                              rolled[:, 1:, :PAD]], axis=2)  # (B, L, H+PAD)
 
-    if do_hsync and _HSYNC_SCAN:
+    _use_hsk = (do_hsync and _HSYNC_SCAN and filters._use_pallas()
+                and not spatial.active()
+                and os.environ.get("NTSC_CRT_HSYNC_KERNEL", "1") != "0")
+    if _use_hsk:
+        # --- in-register hsync chase (ops/pallas/hsync_scan.py) ------------
+        # The XLA scan branch below is dispatch-overhead-bound (~20 small
+        # ops x 240 lines ~ 1.75 ms/step, docs/PERF.md); the kernel carries
+        # the estimate in VMEM scratch across a sequential line grid and
+        # pulls each window with a rebase + residual-gated funnel.
+        thresh = cfg.hsync_thresh * cfg.sync_level
+        c0 = cfg.sync_beg - W
+        HP = rows2.shape[2]
+        assert c0 >= 0, \
+            f"{cfg.name}: sync_beg ({cfg.sync_beg}) < hsync window ({W})"
+        assert H - 1 + c0 + 2 * W <= HP, f"{cfg.name}: PAD too small"
+        from ntsc_crt_tpu.ops.pallas import hsync_scan as _hsk
+        hseq_bl = _hsk.hsync_chase(
+            rows2, active_l, i32(hsync0), W=W, c0=c0, thresh=thresh,
+            H=H, interpret=filters._pallas_interpret())
+        hsync_l = lax.optimization_barrier(hseq_bl)       # (B, L)
+        hsync_f = hsync_l[:, L - 1]
+    elif do_hsync and _HSYNC_SCAN:
         # --- hsync search on demand inside the line scan -------------------
         # The reference probes ONE 16-sample window per line, at the running
         # hsync estimate (crt_core.c:434-450).  Tabulating the first-hit for
@@ -610,7 +639,7 @@ def demodulate_core(
     if cfg.vhs_noise:
         inp_flat, randstate, rn_new = _inject_noise_vhs(
             cfg, analog8.reshape(B, -1), _b(randstate, B), noise)
-        inp2d_pre = inp_flat.reshape(B, V, H)
+        inp2d_pre = _row_major(inp_flat.reshape(B, V, H))
     else:
         inp2d_pre, rn_new = _inject_noise(cfg, analog8, _b(rn, B), noise)
 
@@ -664,11 +693,11 @@ def demodulate_core(
     # --- fused fast path: per-line alignment + EQ + scan conversion in one
     # Pallas kernel (the per-line shift happens in-kernel where the sample
     # axis is the major block dim — see ops/pallas/decode_fused.py) --------
-    fused_ok = (not do_bloom and eq_mode == "threeband"
-                and filters._use_pallas())
+    fused_ok = (not do_bloom and filters._use_pallas()
+                and (eq_mode == "threeband"
+                     or (eq_mode.startswith("conv") and CC == 4)))
     if fused_ok:
         from ntsc_crt_tpu.ops.pallas import decode_fused as _df
-        eqY, eqI, eqQ = _eq_coefs(cfg)
         ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
         brr = jnp.broadcast_to(bright[:, None], (B, L))
         if CC == 4:
@@ -677,7 +706,11 @@ def demodulate_core(
         else:
             wvI_l, wvQ_l = waveI_l, waveQ_l
         interp = filters._pallas_interpret()
-        coefs3 = (tuple(eqY), tuple(eqI), tuple(eqQ))
+        if eq_mode == "threeband":
+            eqY, eqI, eqQ = _eq_coefs(cfg)
+            coefs3 = (tuple(eqY), tuple(eqI), tuple(eqQ))
+        else:  # USE_CONVOLUTION FIR build, fused (crt_core.c:96-147)
+            coefs3 = ("conv", int(eq_mode.removeprefix("conv")))
         # the two row planes (line l / line l+1) go in separately — the
         # kernel concatenates them in VMEM, so neither the (B, L, 2H)
         # concat nor any XLA-side coarse pre-shift ever hits HBM
@@ -810,9 +843,10 @@ def demodulate_core(
                          packed & 0xFF], axis=-1)
     else:
         valid = None
-        yv = fastpath.lerp_resample(oy, outw, 2)
-        iv = fastpath.lerp_resample(oi, outw, 14)
-        qv = fastpath.lerp_resample(oq, outw, 14)
+        wide = _lerp_wide_needed(saturation, bright)
+        yv = fastpath.lerp_resample(oy, outw, 2, wide=wide)
+        iv = fastpath.lerp_resample(oi, outw, 14, wide=wide)
+        qv = fastpath.lerp_resample(oq, outw, 14, wide=wide)
 
     if valid is not None or not filters._use_pallas():
         contrast = _b(mon.contrast, B)[:, None, None]
@@ -840,6 +874,41 @@ def _concrete_int(x):
     if arr.ndim == 0 or (arr == arr.ravel()[0]).all():
         return int(arr.ravel()[0])
     return None
+
+
+def _concrete_max_abs(x):
+    """max |x| if x is a trace-time constant (any shape), else None."""
+    if isinstance(x, jax.core.Tracer):
+        return None
+    return int(np.max(np.abs(np.asarray(x))))
+
+
+def _lerp_wide_needed(saturation, bright) -> bool:
+    """Trace-time selection of the scan-conversion limb width (VERDICT r3
+    weak #4): the 3-limb MXU lerp is exact for |YIQ| < 2^21, and the decoded
+    magnitudes are bounded by the monitor knobs —
+
+      |sig| <= 127 (clipped int8), |ccr| <= 127*128 (EMA geometric bound,
+      crt_core.c:462-466), so |wave| <= ((2*16256*16) >> 4)*|sat| and
+      |i_in| = |(sig*wave) >> 9| <= ~2^14*|sat|; the 3-band/conv EQ
+      amplifies < 3x (unity-capped band gains, crt_core.c:277-287), so
+      |oi|,|oq| <= ~6200*|sat| and |oy| <= 48*(127 + |bright|).
+
+    |sat| <= 127 and |bright| <= 16384 therefore keep every lerp input
+    under 2^21 with >2x margin.  When the knobs are trace-time constants
+    inside those bounds the fast 3-limb form is provably exact; any traced
+    or out-of-bounds knob auto-selects the 5-limb mod-2^32 form — no knob
+    combination can silently leave the exactness envelope.
+    NTSC_CRT_LERP_WIDE=1/0 force-overrides for A/B measurement."""
+    env = os.environ.get("NTSC_CRT_LERP_WIDE")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    sat_c = _concrete_max_abs(saturation)
+    br_c = _concrete_max_abs(bright)
+    return (sat_c is None or sat_c > 127
+            or br_c is None or br_c > 16384)
 
 
 def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,

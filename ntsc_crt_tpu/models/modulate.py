@@ -400,12 +400,13 @@ def modulate_vhs(
     *,
     field, frame, hue, as_color=1, xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100, raw: bool = False,
-    do_aberration=0,
+    do_aberration=0, do_bloom: bool = False,
 ):
     """crt_ntscvhs.c:128-337.  Identical to the NTSC path except: a random
     6-17 line region at the bottom loses its sync tips (head switching,
     :234-238), the persistent hsync estimate is zeroed each frame (:258,
     handled by pipeline.modulate), and the ccf export is zeroed (:330-335).
+    do_bloom: CRT_DO_BLOOM destination sizing (crt_ntscvhs.c:149-156).
 
     Returns (analog', ccf_zero, randstate')."""
     from ntsc_crt_tpu.ops import lcg as _lcg
@@ -414,7 +415,8 @@ def modulate_vhs(
     analog, _ = modulate_rgb(
         cfg, analog, img, field=field, frame=frame, hue=hue,
         as_color=as_color, xoffset=xoffset, yoffset=yoffset,
-        black_point=black_point, white_point=white_point, raw=raw)
+        black_point=black_point, white_point=white_point, raw=raw,
+        do_bloom=do_bloom)
 
     do_ab = (_b(do_aberration, B) != 0)
     rs = _b(randstate, B)
@@ -447,7 +449,7 @@ def modulate_vper(
     *,
     field, frame, hue, as_color=1, xoffset: int = 0, yoffset: int = 0,
     black_point=0, white_point=100, raw: bool = False,
-    dot_crawl_offset=0,
+    dot_crawl_offset=0, do_bloom: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """crt_snes.c:125-327 / crt_template.c:125-337 / crt_pv1k.c:121-321.
 
@@ -455,7 +457,10 @@ def modulate_vper(
     [cc_vper][cc_samples] with a per-line vertical phase advance (dot crawl),
     burst hue offset `(n - step + hue_offset)`, per-line table row
     `(y + yo) % cc_vper` instead of a CC_PHASE sign flip, and xo aligned to
-    cc_samples (same as &~3 for 4, different for PV1K's 5)."""
+    cc_samples (same as &~3 for 4, different for PV1K's 5).  do_bloom
+    reproduces the CRT_DO_BLOOM encode-destination sizing, identical in every
+    RGB-family encoder (crt_snes.c:144-151, crt_pv1k.c:140-147,
+    crt_template.c:144-151)."""
     assert cfg.kind == "rgb"
     B = analog.shape[0]
     H, V, CC, VP = cfg.hres, cfg.vres, cfg.cc_samples, cfg.cc_vper
@@ -467,7 +472,7 @@ def modulate_vper(
     black_point = _b(black_point, B)
     white_point = _b(white_point, B)
 
-    destw, desth = _dest_size(cfg, raw, w, h)
+    destw, desth = _dest_size(cfg, raw, w, h, do_bloom)
     xo = cfg.av_beg + xoffset + (cfg.av_len - destw) // 2
     xo = xo - (xo % CC)                                  # crt_snes.c:201
     yo = cfg.top + yoffset + (cfg.lines - desth) // 2

@@ -95,7 +95,7 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
             cfg, state.analog, img, state.randstate, field=field, frame=frame,
             hue=hue, as_color=as_color, xoffset=xoffset, yoffset=yoffset,
             black_point=black_point, white_point=white_point, raw=raw,
-            do_aberration=do_aberration)
+            do_aberration=do_aberration, do_bloom=do_bloom)
         # reset hsync each frame so only the bottom warps (crt_ntscvhs.c:258)
         state = state._replace(analog=analog, ccf=ccf, randstate=randstate,
                                hsync=jnp.zeros_like(state.hsync))
@@ -117,7 +117,7 @@ def modulate(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
             cfg, state.analog, img, field=field, frame=frame, hue=hue,
             as_color=as_color, xoffset=xoffset, yoffset=yoffset,
             black_point=black_point, white_point=white_point, raw=raw,
-            dot_crawl_offset=dot_crawl_offset)
+            dot_crawl_offset=dot_crawl_offset, do_bloom=do_bloom)
     else:  # NTSC
         analog, ccf = _mod.modulate_rgb(
             cfg, state.analog, img, field=field, frame=frame, hue=hue,
@@ -157,7 +157,11 @@ def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
          field=0, frame=0, hue=0, noise=0,
          mon: Optional[MonitorParams] = None,
          as_color=1, raw: bool = False,
-         dot_crawl_offset=0, do_aberration=0, v_fac: int = 0) -> CRTState:
+         dot_crawl_offset=0, do_aberration=0, v_fac: int = 0,
+         do_bloom: bool = False, eq_mode: str = "threeband",
+         do_vsync: bool = True, do_hsync: bool = True,
+         border_color=0, draw_border: bool = False,
+         optimized: bool = True) -> CRTState:
     """modulate + demodulate: one full frame through the composite path.
 
     black_point/white_point live in the monitor state in the reference
@@ -165,11 +169,21 @@ def step(cfg: SystemConfig, state: CRTState, img: jax.Array, *,
     and decoder (crt_core.c:305), so they come from `mon` here.
     v_fac is the vertical stretch factor (crt_core.h:86) — a static
     trace-time int like the output geometry.
+
+    The reference's compile-time build variants are static kwargs here:
+    do_bloom (CRT_DO_BLOOM, crt_core.h:70), eq_mode (USE_CONVOLUTION,
+    crt_core.c:85-147), do_vsync/do_hsync (crt_core.h:71-72),
+    draw_border/border_color (NES_BORDER, crt_nes.c:69), optimized
+    (NES_OPTIMIZED, crt_nes.c:63).
     """
     mon = mon or MonitorParams()
     state = modulate(cfg, state, img, field=field, frame=frame, hue=hue,
                      as_color=as_color,
                      black_point=mon.black_point, white_point=mon.white_point,
                      raw=raw, dot_crawl_offset=dot_crawl_offset,
-                     do_aberration=do_aberration)
-    return demodulate(cfg, state, noise=noise, mon=mon, v_fac=v_fac)
+                     do_aberration=do_aberration, do_bloom=do_bloom,
+                     border_color=border_color, draw_border=draw_border,
+                     optimized=optimized)
+    return demodulate(cfg, state, noise=noise, mon=mon, v_fac=v_fac,
+                      eq_mode=eq_mode, do_bloom=do_bloom,
+                      do_vsync=do_vsync, do_hsync=do_hsync)

@@ -50,10 +50,13 @@ def _parities(n_frames: int, progressive: bool):
 def video_exact(cfg: SystemConfig, state: pipeline.CRTState,
                 frames: jax.Array, *, noise=0,
                 mon: Optional[MonitorParams] = None,
-                progressive: bool = False, hue=0):
+                progressive: bool = False, hue=0, **step_kw):
     """Sequential scan over T frames; state flows exactly like the C driver.
     frames: uint8 (T, h, w, 3) (or (T, h, w) uint16 for NES).
-    Returns (state', outs uint8 (T, outh, outw, 3))."""
+    Extra keyword args (do_bloom, eq_mode, do_vsync/do_hsync,
+    draw_border/border_color, do_aberration, v_fac, ...) forward to
+    pipeline.step, so every build-variant mode is reachable from the video
+    surface.  Returns (state', outs uint8 (T, outh, outw, 3))."""
     mon = mon or MonitorParams()
     T = frames.shape[0]
     fseq, frseq = _parities(T, progressive or cfg.progressive)
@@ -64,7 +67,8 @@ def video_exact(cfg: SystemConfig, state: pipeline.CRTState,
     def body(st, xs):
         img, fi, fr, dc = xs
         st = pipeline.step(cfg, st, img, field=fi, frame=fr, hue=hue,
-                           noise=noise, mon=mon, dot_crawl_offset=dc)
+                           noise=noise, mon=mon, dot_crawl_offset=dc,
+                           **step_kw)
         return st, st.out
 
     return lax.scan(body, state, (frames, fseq, frseq, dcos))
@@ -73,10 +77,11 @@ def video_exact(cfg: SystemConfig, state: pipeline.CRTState,
 def video_strided(cfg: SystemConfig, states: pipeline.CRTState,
                   frames: jax.Array, *, noise=0,
                   mon: Optional[MonitorParams] = None,
-                  progressive: bool = False, hue=0):
+                  progressive: bool = False, hue=0, **step_kw):
     """Throughput mode: frames (T, ...) with T = B * k are processed as B
     interleaved strides (slot b handles frames b, b+B, b+2B, ...), each
     stride carrying its own CRTState.  states: batched CRTState (B slots).
+    Extra keyword args forward to pipeline.step (see video_exact).
     Returns (states', outs (T, outh, outw, 3)) in original frame order."""
     mon = mon or MonitorParams()
     B = states.analog.shape[0]
@@ -97,7 +102,8 @@ def video_strided(cfg: SystemConfig, states: pipeline.CRTState,
                            field=jnp.broadcast_to(fi, (B,)),
                            frame=jnp.broadcast_to(fr, (B,)),
                            hue=hue, noise=noise, mon=mon,
-                           dot_crawl_offset=jnp.broadcast_to(dc, (B,)))
+                           dot_crawl_offset=jnp.broadcast_to(dc, (B,)),
+                           **step_kw)
         return st, st.out
 
     states, outs = lax.scan(body, states, (chunked, fseq, frseq, dcos))

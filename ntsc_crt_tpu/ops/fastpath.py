@@ -113,14 +113,21 @@ def lerp_resample_weights(av_len: int, outw: int):
     return s, L, R
 
 
-def lerp_resample(vals: jax.Array, outw: int, shift: int) -> jax.Array:
+def lerp_resample(vals: jax.Array, outw: int, shift: int,
+                  wide: bool | None = None) -> jax.Array:
     """Exact ((a*L)>>sh) + ((b*R)>>sh) resampling as int8-limb MXU matmuls.
 
-    vals: int32 (..., av_len) with |vals| < 2^25.  The products a*L wrap in
-    int32 exactly like the reference's (yiqA->y * L) (crt_core.c:568-570).
-    Each value splits into four 7-bit limbs; one-hot weight matrices fold the
-    (gather at s / s+1) x (multiply by L/R) into a single int8 matmul per
-    limb batch — gathers never happen.
+    vals: int32 (..., av_len).  The products a*L wrap in int32 exactly like
+    the reference's (yiqA->y * L) (crt_core.c:568-570).  Each value splits
+    into 7-bit limbs; one-hot weight matrices fold the (gather at s / s+1)
+    x (multiply by L/R) into a single int8 matmul per limb batch — gathers
+    never happen.
+
+    wide=False: 3 limbs, exact for |vals| < 2^21.  wide=True: 5 limbs,
+    exact mod 2^32 for ANY int32 input.  wide=None (default) reads
+    NTSC_CRT_LERP_WIDE.  Callers that know their input envelope at trace
+    time (demodulate_core derives it from concrete monitor knobs) pass the
+    flag explicitly so the exactness guarantee never depends on an env var.
     """
     import numpy as np
     av_len = vals.shape[-1]
@@ -140,11 +147,13 @@ def lerp_resample(vals: jax.Array, outw: int, shift: int) -> jax.Array:
     # Split values into 7-bit limbs (sign carried by the top limb).  Three
     # limbs represent any |v| < 2^21 exactly — the decoded YIQ samples stay
     # well under 2^16 for all sane monitor settings (the reference itself
-    # wraps int32 far earlier than 2^21-scaled inputs could).  Set
-    # NTSC_CRT_LERP_WIDE=1 for the 5-limb path, exact mod 2^32 for ANY
-    # int32 input (matching the reference's -fwrapv product wrap).
+    # wraps int32 far earlier than 2^21-scaled inputs could).  The 5-limb
+    # path is exact mod 2^32 for ANY int32 input (matching the reference's
+    # -fwrapv product wrap).
     import os
-    n_limbs = 5 if os.environ.get("NTSC_CRT_LERP_WIDE") else 3
+    if wide is None:
+        wide = bool(os.environ.get("NTSC_CRT_LERP_WIDE"))
+    n_limbs = 5 if wide else 3
     parts = [(x & 0x7F).astype(jnp.int8), ((x >> 7) & 0x7F).astype(jnp.int8)]
     if n_limbs == 3:
         parts.append((x >> 14).astype(jnp.int8))      # signed top limb

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
 
-from ntsc_crt_tpu.ops.filters import EQ_P, EQ_R
+from ntsc_crt_tpu.ops.filters import EQ_P, EQ_R, _CONV_EQ_KERNELS
 from ntsc_crt_tpu.ops.fastpath import lerp_resample_weights
 
 LANE = 128
@@ -55,6 +55,16 @@ def _chunk(cc: int) -> int:
     carrier phase is static).  32 for the 4-sample systems (measured best),
     40 for 5-sample."""
     return 32 if cc == 4 else 40
+
+
+def _fir_chain(hist, x, weights, shift):
+    """Causal FIR step (the USE_CONVOLUTION eqf, crt_core.c:96-147):
+    out_i = (sum_k w_k * s_{i-k}) >> shift with zero history at line start.
+    hist: tuple of the previous len(weights)-1 inputs, oldest first."""
+    acc = weights[0] * x
+    for k in range(1, len(weights)):
+        acc = acc + weights[k] * hist[-k]
+    return hist[1:] + (x,), acc >> shift
 
 
 def _eq_chain(state, sx, lf, hf, g0, g1, g2):
@@ -76,7 +86,14 @@ FUNNEL_CHUNK = 256  # funnel pass tile along the sample (major) dim
 
 
 def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
-    cy, ci, cq = coefs  # per-channel (lf, hf, g0, g1, g2) python ints
+    # coefs: 3x (lf, hf, g0, g1, g2) python ints for the 3-band EQ, or
+    # ("conv", taps) for the USE_CONVOLUTION FIR build (crt_core.c:96-147)
+    conv = coefs[0] == "conv"
+    if conv:
+        fir_w, fir_shift = _CONV_EQ_KERNELS[coefs[1]]
+        n_hist = len(fir_w) - 1
+    else:
+        cy, ci, cq = coefs  # per-channel (lf, hf, g0, g1, g2) python ints
     K = _chunk(cc)
     C = FUNNEL_CHUNK
 
@@ -155,9 +172,16 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
                 # wave phase is static within the chunk (K % cc == 0)
                 wv_i = wvi_ref[j % cc]
                 wv_q = wvq_ref[j % cc]
-                sy, oy = _eq_chain(sy, sx + bright, *cy)
-                si, oi = _eq_chain(si, (sx * wv_i) >> 9, *ci)
-                sq, oq = _eq_chain(sq, (sx * wv_q) >> 9, *cq)
+                if conv:
+                    sy, oy = _fir_chain(sy, sx + bright, fir_w, fir_shift)
+                    si, oi = _fir_chain(si, (sx * wv_i) >> 9, fir_w,
+                                        fir_shift)
+                    sq, oq = _fir_chain(sq, (sx * wv_q) >> 9, fir_w,
+                                        fir_shift)
+                else:
+                    sy, oy = _eq_chain(sy, sx + bright, *cy)
+                    si, oi = _eq_chain(si, (sx * wv_i) >> 9, *ci)
+                    sq, oq = _eq_chain(sq, (sx * wv_q) >> 9, *cq)
                 oys.append(oy << 4)                        # crt_core.c:540
                 ois.append(oi >> 3)
                 oqs.append(oq >> 3)
@@ -166,7 +190,8 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
             oq_s[pl.ds(tb * K, K)] = jnp.stack(oqs)
             return sy, si, sq
 
-        init = ((zero,) * 11, (zero,) * 11, (zero,) * 11)
+        n_state = n_hist if conv else 11
+        init = ((zero,) * n_state, (zero,) * n_state, (zero,) * n_state)
         lax.fori_loop(0, T // K, chunk, init)
 
         contrast = ct_ref[0]

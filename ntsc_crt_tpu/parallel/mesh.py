@@ -67,12 +67,13 @@ def init_batch(cfg: SystemConfig, batch: int, outw: int, outh: int,
 
 def make_batched_step(cfg: SystemConfig, *, noise=0,
                       mon: Optional[MonitorParams] = None,
-                      donate: bool = True):
+                      donate: bool = True, **step_kw):
     """The full modulate+demodulate step over a frame batch (the cores are
     natively batch-first — no vmap).
 
     Returns jitted fn(states, imgs, fields, frames, dcos) -> states.
-    imgs: uint8 (B, h, w, 3) or uint16 (B, h, w) for NES.
+    imgs: uint8 (B, h, w, 3) or uint16 (B, h, w) for NES.  Extra keyword
+    args (do_bloom, eq_mode, ...) forward to pipeline.step.
 
     With donate=True the carried state rides compiler-chosen (Layout.AUTO)
     buffer layouts.  Read results via direct host fetches (np.asarray) —
@@ -84,7 +85,8 @@ def make_batched_step(cfg: SystemConfig, *, noise=0,
 
     def fn(states, imgs, fields, frames, dcos):
         return pipeline.step(cfg, states, imgs, field=fields, frame=frames,
-                             noise=noise, mon=mon, dot_crawl_offset=dcos)
+                             noise=noise, mon=mon, dot_crawl_offset=dcos,
+                             **step_kw)
 
     if donate:
         # AUTO layouts on the donated state: XLA picks matching input/output

@@ -68,3 +68,31 @@ def test_hsync_scan_matches_table(system):
         np.testing.assert_array_equal(ha, hb, err_msg=f"hsync frame {n}")
         np.testing.assert_array_equal(va, vb, err_msg=f"vsync frame {n}")
         np.testing.assert_array_equal(ra, rb, err_msg=f"rgb frame {n}")
+
+
+@pytest.mark.parametrize("system", ["NTSC", "PV1K"])
+def test_forced_kernels_unsharded_step_matches_portable(monkeypatch, system):
+    """Full forced-Pallas (interpret) step — fused decode + in-register
+    hsync chase (ops/pallas/hsync_scan.py, active only when unsharded) —
+    vs the portable XLA step, carried state across frames under noise."""
+    from ntsc_crt_tpu.models import pipeline
+
+    cfg = SYSTEMS[system]
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.randint(0, 256, (120, 160, 3), np.uint8))
+
+    def run():
+        st = pipeline.crt_init(cfg, 320, 240)
+        outs = []
+        for n in range(3):
+            st = pipeline.step(cfg, st, img, field=n & 1, frame=0, noise=24)
+            outs.append((np.asarray(st.out), int(st.hsync), int(st.vsync)))
+        return outs
+
+    monkeypatch.delenv("NTSC_CRT_FORCE_PALLAS", raising=False)
+    a = run()
+    monkeypatch.setenv("NTSC_CRT_FORCE_PALLAS", "1")
+    b = run()
+    for n, ((ra, ha, va), (rb, hb, vb)) in enumerate(zip(a, b)):
+        assert (ha, va) == (hb, vb), f"sync state frame {n}"
+        np.testing.assert_array_equal(ra, rb, err_msg=f"rgb frame {n}")

@@ -127,6 +127,44 @@ def test_decode_fused_matches_unfused(rng, cc, MS, pair, smode):
     np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
 
 
+@pytest.mark.parametrize("taps", [7, 6, 5, 4])
+def test_decode_fused_conv_eq_matches_portable(rng, taps):
+    """The fused kernel's FIR mode (coefs=("conv", taps)) vs the portable
+    eq_convolution path — same alignment, EQ, lerp, pack (VERDICT r3 #5:
+    conv-EQ gets the full fused TPU path)."""
+    from ntsc_crt_tpu.ops.pallas import decode_fused as df
+    MS = 37
+    ext = rng.randint(-127, 128, (R, T + MS), dtype=np.int8)
+    shifts = rng.randint(0, MS + 1, R).astype(np.int32)
+    sig = jnp.asarray(
+        np.stack([ext[r, s:s + T] for r, s in enumerate(shifts)]))
+    wave = jnp.asarray(rng.randint(-60000, 60000, (R, 4), dtype=np.int32))
+    waveI, waveQ = wave, jnp.roll(wave, -3, axis=-1)
+    bright = jnp.asarray(rng.randint(-20, 20, (R,), dtype=np.int32))
+    ct = jnp.full((R,), 180, jnp.int32)
+    r8, g8, b8 = df.decode_fused_rows(
+        jnp.asarray(ext), jnp.asarray(shifts), waveI, waveQ, bright, ct,
+        outw=OUTW, av_len=T, max_shift=MS,
+        coefs=("conv", taps), interpret=True)
+    got = (np.asarray(r8).astype(np.int64) << 16) \
+        | (np.asarray(g8).astype(np.int64) << 8) | np.asarray(b8)
+
+    sig32 = jnp.asarray(sig, jnp.int32)
+    wv_i = fastpath.tile_period(waveI, T, 0)
+    wv_q = fastpath.tile_period(wave, T, 3)
+    stacked = jnp.stack([sig32 + bright[:, None], (sig32 * wv_i) >> 9,
+                         (sig32 * wv_q) >> 9], axis=1)
+    e = filters.eq_convolution(stacked, taps)
+    oy, oi, oq = e[:, 0] << 4, e[:, 1] >> 3, e[:, 2] >> 3
+    yv = np.asarray(fastpath.lerp_resample(oy, OUTW, 2))
+    iv = np.asarray(fastpath.lerp_resample(oi, OUTW, 14))
+    qv = np.asarray(fastpath.lerp_resample(oq, OUTW, 14))
+    r = np.clip((((yv + 3879 * iv + 2556 * qv) >> 12) * 180) >> 8, 0, 255)
+    g = np.clip((((yv - 1126 * iv - 2605 * qv) >> 12) * 180) >> 8, 0, 255)
+    b = np.clip((((yv - 4530 * iv + 7021 * qv) >> 12) * 180) >> 8, 0, 255)
+    np.testing.assert_array_equal(got, (r << 16) | (g << 8) | b)
+
+
 @pytest.mark.parametrize("cc", [4, 5])
 def test_encode_fused_matches_unfused(rng, cc):
     import os
@@ -158,6 +196,42 @@ def test_encode_fused_matches_unfused(rng, cc):
         np.testing.assert_array_equal(got, np.clip(ire, 0, 110).astype(np.int8))
     finally:
         os.environ.pop("NTSC_CRT_FORCE_SCAN", None)
+
+
+@pytest.mark.parametrize("lock", ["cold", "locked"])
+def test_hsync_chase_kernel_matches_scalar(rng, lock):
+    """The in-register hsync chase (ops/pallas/hsync_scan.py) vs a direct
+    scalar port of crt_core.c:434-450 with the same carried estimate."""
+    from ntsc_crt_tpu.ops.pallas import hsync_scan as hsk
+    B, L, H = 9, 21, 300
+    W, c0, thresh = 8, 20, -100
+    HP = 512
+    rows2 = rng.randint(-127, 128, (B, L, HP), dtype=np.int8)
+    if lock == "locked":
+        hsync0 = np.full(B, 137, np.int32)
+    else:
+        hsync0 = rng.randint(0, H, B).astype(np.int32)
+    act = rng.rand(B, L) > 0.2
+
+    ref = np.zeros((B, L), np.int32)
+    for b in range(B):
+        hs = int(hsync0[b])
+        for l in range(L):
+            base = hs + c0
+            run, j = 0, 2 * W
+            for t in range(2 * W):
+                run += int(rows2[b, l, base + t])
+                if run <= thresh:
+                    j = t
+                    break
+            if act[b, l]:
+                hs = (j - W + hs) % H
+            ref[b, l] = hs
+
+    got = hsk.hsync_chase(jnp.asarray(rows2), jnp.asarray(act),
+                          jnp.asarray(hsync0), W=W, c0=c0, thresh=thresh,
+                          H=H, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), ref)
 
 
 def test_vhs_region_b_kernel_matches_scan(rng):

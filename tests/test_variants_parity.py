@@ -82,6 +82,61 @@ def test_bloom_parity(noise):
             frame ^= 1
 
 
+@pytest.mark.parametrize("system", ["SNES", "PV1K", "TEMPLATE"])
+def test_bloom_parity_vper(system):
+    """CRT_DO_BLOOM=1 through the per-line-vertical-phase encoders: the
+    sizing guard is identical in crt_snes.c:144-151, crt_pv1k.c:140-147,
+    crt_template.c:144-151; PV1K additionally exercises the 5-sample bloom
+    decode (crt_core.c:480-509 + 512-532)."""
+    cfg = SYSTEMS[system]
+    orc = Oracle(system, outw=320, outh=240, defines={"CRT_DO_BLOOM": 1})
+    st = pipeline.crt_init(cfg, 320, 240)
+    img = _img(20)
+    field = frame = 0
+    for n in range(2):
+        orc.modulate(img, field=field, frame=frame, dot_crawl_offset=n)
+        ref = orc.demodulate(noise=0)
+        st = pipeline.modulate(cfg, st, jnp.asarray(img), field=field,
+                               frame=frame, black_point=0, white_point=100,
+                               dot_crawl_offset=n, do_bloom=True)
+        np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
+                                      err_msg=f"{system} bloom frame {n} analog")
+        st = pipeline.demodulate(cfg, st, noise=0, do_bloom=True)
+        np.testing.assert_array_equal(np.asarray(st.out), ref,
+                                      err_msg=f"{system} bloom frame {n} out")
+        assert int(st.hsync) == orc.crt.hsync
+        np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf)
+        if not cfg.progressive:
+            field ^= 1
+            if n % 2 == 1:
+                frame ^= 1
+
+
+def test_bloom_parity_vhs():
+    """CRT_DO_BLOOM=1 for NTSCVHS (crt_ntscvhs.c:149-156), with the spec'd
+    rand stream and VHS tracking noise live."""
+    cfg = SYSTEMS["NTSCVHS"]
+    seed = 13579
+    orc = Oracle("NTSCVHS", outw=320, outh=240, defines={"CRT_DO_BLOOM": 1})
+    orc.srand(seed)
+    st = pipeline.crt_init(cfg, 320, 240, rand_seed=seed)
+    img = _img(21)
+    field = 0
+    for n in range(2):
+        orc.modulate(img, field=field, frame=0, do_aberration=0)
+        ref = orc.demodulate(noise=8)
+        st = pipeline.modulate(cfg, st, jnp.asarray(img), field=field,
+                               frame=0, black_point=0, white_point=100,
+                               do_aberration=0, do_bloom=True)
+        np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
+                                      err_msg=f"vhs bloom frame {n} analog")
+        st = pipeline.demodulate(cfg, st, noise=8, do_bloom=True)
+        assert_parity_outside_ub(np.asarray(st.out), ref, cfg,
+                                 orc.crt.vsync, err_msg=f"vhs bloom frame {n}")
+        assert int(st.rn) == orc.crt.rn
+        field ^= 1
+
+
 _CONV_DEFS = {
     "conv7": {"USE_CONVOLUTION": 1},
     "conv6": {"USE_CONVOLUTION": 1, "USE_7_SAMPLE_KERNEL": 0,
