@@ -341,9 +341,19 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     rows2 = jnp.concatenate([rolled[:, :L],
                              rolled[:, 1:, :PAD]], axis=2)  # (B, L, H+PAD)
 
+    # The in-register Pallas chase executes in ~0.22 ms (vs ~1.75 ms for the
+    # XLA scan) but needs the rows in a (line, sample, batch) layout, and at
+    # large batch the int8->int32 word-pack + relayout XLA emits for that
+    # costs ~3.7 ms/step (283 MB u32 blowup, T(4,128) copies — r4 kernel
+    # trace) — a net loss.  At small batch the prep is trivial (<300 KB)
+    # while the scan still pays the full 240-line serial chain, so the
+    # kernel is gated to the latency regime.  NTSC_CRT_HSYNC_KERNEL=1/0
+    # forces it on/off for A/B runs.
+    _hsk_env = os.environ.get("NTSC_CRT_HSYNC_KERNEL", "")
     _use_hsk = (do_hsync and _HSYNC_SCAN and filters._use_pallas()
                 and not spatial.active()
-                and os.environ.get("NTSC_CRT_HSYNC_KERNEL", "1") != "0")
+                and (_hsk_env == "1"
+                     or (_hsk_env != "0" and B < _BIG_BATCH)))
     if _use_hsk:
         # --- in-register hsync chase (ops/pallas/hsync_scan.py) ------------
         # The XLA scan branch below is dispatch-overhead-bound (~20 small

@@ -8,23 +8,35 @@ small ops per line are dispatch-overhead-bound: ~1.75 ms/step on a v5e —
 one of the two structural residuals named in docs/PERF.md.
 
 This kernel runs the same chase with the BATCH on (sublane, lane) tiles and
-the padded sample axis as the block-major dim, one grid step per line:
+the padded sample axis as the block-major dim, one grid step per line.
+The chase itself executes in ~0.22 ms at batch 256 (8x the XLA scan), but
+the (B, L, HP) -> (L, HPw, B) input relayout XLA emits costs ~3.7 ms/step
+at that batch (int8->int32 word-pack via a 283 MB u32 blowup + T(4,128)
+copies — r4 trace), so the caller gates the kernel to the SMALL-BATCH
+(latency) regime where the prep is trivial and the serial chain dominates
+the step.  Kernel design:
 
+* the input rides as little-endian int32 words of 4 int8 samples
+  (a bitcast view): the (B, L, HP) -> (L, HP, B) relayout XLA emits for an
+  int8 operand runs at ~47 GB/s (sublane-packing shuffles, ~3 ms/step at
+  batch 256 — measured); the same relayout on the int32 view is ~2 orders
+  of magnitude cheaper.  The kernel extracts bytes in-register;
 * the running hsync estimate lives in VMEM scratch across grid steps (the
   TPU grid is sequential), so the 240-step chain costs zero dispatches;
 * each line's probe window is pulled out by the same block-rebase +
-  residual-gated funnel as ops/pallas/decode_fused.py: one dynamic-offset
-  copy at the batch-min window base (a scalar major-dim slice — free in
-  this tiling) plus masked funnel passes over the residual, each pass
-  gated on the residual max actually needing that bit.  In steady state
-  the chase is locked (residual ~jitter), so ~log2(jitter) passes live;
+  residual-gated funnel as ops/pallas/decode_fused.py, at WORD
+  granularity: one dynamic-offset copy at the batch-min window base plus
+  masked funnel passes over the word residual, each gated on the residual
+  max actually needing that bit.  In steady state the chase is locked
+  (residual ~jitter), so ~log2(jitter/4) passes live;
 * the 16-sample threshold scan (first window position whose running sum
   drops below thresh, fall-through j == 2W, crt_core.c:440-445) unrolls
-  into ~4 VPU ops per sample.
+  into sign-extended byte picks + adds on the VPU.
 
-Bit-exactness: identical integer ops to the scan path; pinned against it in
-interpret mode (tests/test_pallas_kernels.py) and transitively against the
-compiled reference (test_hsync_paths.py runs both hsync strategies).
+Bit-exactness: identical integer ops to the scan path; pinned against a
+scalar port of the reference loop in interpret mode
+(tests/test_pallas_kernels.py) and against the XLA strategies end to end
+(tests/test_hsync_paths.py).
 """
 
 from __future__ import annotations
@@ -37,16 +49,23 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
-
 LANE = 128
 SUB = 8
-COPY_C = 128   # initial-copy chunk along the sample dim
+COPY_C = 32    # initial-copy chunk along the word dim (128 samples; HP is
+#                lane-aligned to 128 so 4*COPY_C always divides it)
 
 
-def _make_kernel(L, HP, W, c0, thresh, H, bits):
+def _sx_byte(word, bp: int):
+    """Sign-extended byte bp (0..3, little-endian) of an int32 word."""
+    if bp == 3:
+        return word >> 24
+    return (word << (24 - 8 * bp)) >> 24
+
+
+def _make_kernel(L, HPw, W, c0, thresh, H, bits_w):
     tW = 2 * W
-    S = tW + (1 << bits)          # scratch extent consumed by the funnel
+    tWw = (3 + tW + 3) // 4 + 1    # words covering [rb, rb+tW) for rb<4
+    S = tWw + (1 << bits_w)        # scratch extent consumed by the funnel
 
     def kernel(rows_ref, act_ref, h0_ref, out_ref, hs_s, w_s):
         l = pl.program_id(0)
@@ -57,18 +76,20 @@ def _make_kernel(L, HP, W, c0, thresh, H, bits):
 
         hs = hs_s[...]                                   # (sub, LANE) int32
         base = hs + c0                                   # in [c0, H-1+c0]
-        smin = jnp.min(base)
-        # clamp the copy start so chunked reads never pass HP (the real
-        # window reads stay inside HP by the caller's PAD contract; only
+        wbase = base >> 2
+        rb = base & 3
+        smin = jnp.min(wbase)
+        # clamp the copy start so chunked reads never pass HPw (the real
+        # window reads stay inside HPw by the caller's PAD contract; only
         # the chunk ROUNDUP could poke past it)
-        rmax0 = jnp.max(base) - smin
-        n_live = jnp.minimum((rmax0 + tW + COPY_C - 1) // COPY_C,
-                             HP // COPY_C)
-        start = jnp.minimum(smin, HP - n_live * COPY_C)
-        r = base - start                                 # residual, >= 0
+        rmax0 = jnp.max(wbase) - smin
+        n_live = jnp.minimum((rmax0 + tWw + COPY_C - 1) // COPY_C,
+                             HPw // COPY_C)
+        start = jnp.minimum(smin, HPw - n_live * COPY_C)
+        r = wbase - start                                # word residual >= 0
         rmax = jnp.max(r)
 
-        rows = rows_ref.at[0]                            # (HP, sub, LANE)
+        rows = rows_ref.at[0]                            # (HPw, sub, LANE)
 
         def rpass(c, z):
             t0 = c * COPY_C
@@ -77,9 +98,9 @@ def _make_kernel(L, HP, W, c0, thresh, H, bits):
 
         lax.fori_loop(0, n_live, rpass, 0)
 
-        for kb in range(bits - 1, -1, -1):
+        for kb in range(bits_w - 1, -1, -1):
             off = 1 << kb
-            ext = tW + off                               # static extent
+            ext = tWw + off                              # static extent
             m = ((r >> kb) & 1) == 1
 
             @pl.when(rmax >= off)
@@ -88,12 +109,21 @@ def _make_kernel(L, HP, W, c0, thresh, H, bits):
                 b = w_s[pl.ds(0, ext)]
                 w_s[pl.ds(0, ext)] = jnp.where(m[None], a, b)
 
-        # threshold scan over the aligned 2W window (crt_core.c:440-445)
+        # threshold scan over the aligned 2W window (crt_core.c:440-445):
+        # sample t of lane b is byte (rb+t)&3 of word w_s[(rb+t)>>2]
         run = jnp.zeros_like(hs)
         j = jnp.full_like(hs, tW)
         found = jnp.zeros(hs.shape, jnp.bool_)
+        words = [w_s[k] for k in range(tWw)]
         for t in range(tW):
-            run = run + w_s[t].astype(jnp.int32)
+            w_lo = words[t >> 2]
+            w_hi = words[(t + 3) >> 2]
+            s_t = jnp.zeros_like(hs)
+            for rbv in range(4):
+                bp = (rbv + t) & 3
+                word = w_lo if rbv + (t & 3) < 4 else w_hi
+                s_t = jnp.where(rb == rbv, _sx_byte(word, bp), s_t)
+            run = run + s_t
             hit = (run <= thresh) & ~found
             j = jnp.where(hit, t, j)
             found = found | hit
@@ -118,25 +148,36 @@ def hsync_chase(rows2, active_l, hsync0, *, W: int, c0: int, thresh: int,
     PAD contract).  active_l: bool (B, L); hsync0: int32 (B,).
     Returns hseq int32 (B, L) — the estimate AFTER each line's update."""
     B, L, HP = rows2.shape
-    assert HP % COPY_C == 0, "PAD lane-aligns HP to 128 in the caller"
-    sub = shrink_sub(B, SUB, LANE)
+    assert HP % (4 * COPY_C) == 0, "PAD lane-aligns HP to 128 in the caller"
+    HPw = HP // 4
+    # all kernel operands are int32 (no packed-dtype sublane constraint, cf.
+    # tiling.shrink_sub), so the block height can shrink to a single sublane
+    # — at batch 1 (the latency regime this kernel is gated to) that keeps
+    # the padded prep volume at 128 rows, not 512
+    sub = min(SUB, -(-B // LANE))
     Bp = sub * LANE
-    # residual upper bound: max base - clamped start <= H-1+c0
-    bits = int(H - 1 + c0).bit_length()
+    # word-residual upper bound: max wbase - clamped start
+    bits_w = int((H - 1 + c0) >> 2).bit_length()
 
-    rowsP = jnp.zeros((Bp, L, HP), jnp.int8).at[:B].set(rows2)
-    rowsT = rowsP.transpose(1, 2, 0).reshape(L, HP, sub, LANE)
+    rows32 = lax.bitcast_convert_type(
+        rows2.reshape(B, L, HPw, 4), jnp.int32)         # little-endian pack
+    rowsP = jnp.zeros((Bp, L, HPw), jnp.int32).at[:B].set(rows32)
+    rowsT = rowsP.transpose(1, 2, 0).reshape(L, HPw, sub, LANE)
     actP = jnp.zeros((Bp, L), jnp.int32).at[:B].set(active_l.astype(jnp.int32))
     actT = actP.T.reshape(L, 1, sub, LANE)
     h0 = jnp.zeros((Bp,), jnp.int32).at[:B].set(jnp.asarray(hsync0, jnp.int32))
     h0 = h0.reshape(1, sub, LANE)
 
-    kern, S = _make_kernel(L, HP, W, c0, thresh, H, bits)
+    kern, S = _make_kernel(L, HPw, W, c0, thresh, H, bits_w)
+    # the clamped initial copy can write up to min(HPw, rmax+tWw+C) words
+    # rounded up to a COPY_C chunk — size the scratch to cover both that
+    # and the funnel's largest shifted read (S)
+    Sw = max(S + COPY_C, HPw)
     out = pl.pallas_call(
         kern,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((1, HP, sub, LANE), lambda l: (l, 0, 0, 0),
+            pl.BlockSpec((1, HPw, sub, LANE), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sub, LANE), lambda l: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -148,7 +189,7 @@ def hsync_chase(rows2, active_l, hsync0, *, W: int, c0: int, thresh: int,
         out_shape=jax.ShapeDtypeStruct((L, sub, LANE), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((sub, LANE), jnp.int32),          # carried hsync
-            pltpu.VMEM((S + COPY_C, sub, LANE), jnp.int8),
+            pltpu.VMEM((Sw, sub, LANE), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
