@@ -700,12 +700,46 @@ def demodulate_core(
     # reference reads OOB there — UB — e.g. under VHS aberration).
     rolled = rolled4[:, 3:]    # rows l+3: one shared roll with _line_scan
 
+    if do_bloom:
+        # beam-energy bloom (crt_core.c:512-526): a per-line EMA of scanline
+        # energy modulates the drawn line width.  The line sum is computed
+        # gather-free from the two row planes (the [xpos, xpos+AV) window
+        # spills into the next row) so neither path needs an aligned-sig
+        # materialization just for the sums.
+        max_e = (128 + cdiv(noise, 2)) * AV              # scalar/(B,)
+        iota_h = jnp.arange(H, dtype=jnp.int32)
+        xa = xpos_l[..., None]                           # (B, L, 1)
+        in_w = (iota_h >= xa) & (iota_h < xa + AV)
+        in_spill = iota_h < (xa + AV - H)
+        s_sum = (jnp.sum(jnp.where(in_w, rolled[:, :L].astype(jnp.int32), 0),
+                         axis=2)
+                 + jnp.sum(jnp.where(in_spill,
+                                     rolled[:, 1:].astype(jnp.int32), 0),
+                           axis=2))                      # (B, L)
+
+        def bloom_step(prev_e, s_l):
+            prev_e = cdiv(prev_e * 123, 128) + \
+                cdiv(((max_e >> 1) - s_l) << 10, max_e)
+            return prev_e, prev_e
+
+        init_e = jnp.full((B,), 16384 // 8, jnp.int32)
+        _, prev_e = lax.scan(bloom_step, init_e, s_sum.T, unroll=16)
+        prev_e = prev_e.T                                # (B, L)
+        line_w = (AV * 112 // 128) + (prev_e >> 9)
+        dx_l = (line_w << 12) // outw
+        scanL_l = ((AV // 2) - (line_w >> 1) + 8) << 12
+        Lidx = scanL_l >> 12                             # per-line EQ start
+
     # --- fused fast path: per-line alignment + EQ + scan conversion in one
     # Pallas kernel (the per-line shift happens in-kernel where the sample
-    # axis is the major block dim — see ops/pallas/decode_fused.py) --------
-    fused_ok = (not do_bloom and filters._use_pallas()
+    # axis is the major block dim — see ops/pallas/decode_fused.py).  Bloom
+    # rides the same kernel with a per-row dynamic scan conversion; its
+    # serial prev_e chain crosses line shards, so it stays portable under
+    # spatial sharding.
+    fused_ok = (filters._use_pallas()
                 and (eq_mode == "threeband"
-                     or (eq_mode.startswith("conv") and CC == 4)))
+                     or (eq_mode.startswith("conv") and CC == 4))
+                and not (do_bloom and spatial.active()))
     if fused_ok:
         from ntsc_crt_tpu.ops.pallas import decode_fused as _df
         ctr = jnp.broadcast_to(_b(mon.contrast, B)[:, None], (B, L))
@@ -721,24 +755,57 @@ def demodulate_core(
             coefs3 = (tuple(eqY), tuple(eqI), tuple(eqQ))
         else:  # USE_CONVOLUTION FIR build, fused (crt_core.c:96-147)
             coefs3 = ("conv", int(eq_mode.removeprefix("conv")))
+        valid = None
+        sh_rows = xpos_l
+        max_sh = H - 1
+        extra = ()
+        if do_bloom:
+            # static bound on the per-line EQ start: |prev_e| is capped by
+            # its EMA fixpoint 1536*128/5 (|s| <= 128*AV <= max_e, so the
+            # per-step increment is <= 1536) -> prev_e>>9 in [-77, 76]
+            lw_min = AV * 112 // 128 - 77
+            max_sh = H - 1 + (AV // 2 - lw_min // 2 + 8)
+            sh_rows = xpos_l + Lidx            # EQ starts at scanL>>12
+            rot = Lidx % CC                    # carrier phase at the start
+
+            def _rot_tab(w):                   # w: (B, L, CC)
+                out = w
+                for v in range(1, CC):
+                    out = jnp.where((rot == v)[..., None],
+                                    jnp.roll(w, -v, axis=-1), out)
+                return out
+
+            wvI_l, wvQ_l = _rot_tab(wvI_l), _rot_tab(wvQ_l)
+            # pixels past scanR keep the previous frame's output
+            # (crt_core.c:555 loop bound) — masked in row placement
+            valid = (scanL_l[..., None]
+                     + jnp.arange(outw, dtype=jnp.int32)
+                     * dx_l[..., None]) < ((AV - 1) << 12)
+            extra = (dx_l.reshape(B * L), Lidx.reshape(B * L))
+
+        def _fused_call(e_, eh_, sh_, wi_, wq_, br_, ct_, *bl_):
+            bkw = (dict(bloom_dx=bl_[0], bloom_lidx=bl_[1]) if bl_ else {})
+            return _df.decode_fused_rows(
+                e_, sh_, wi_, wq_, br_, ct_, ext_hi=eh_, outw=outw,
+                av_len=AV, max_shift=max_sh, coefs=coefs3, interpret=interp,
+                **bkw)
+
         # the two row planes (line l / line l+1) go in separately — the
         # kernel concatenates them in VMEM, so neither the (B, L, 2H)
         # concat nor any XLA-side coarse pre-shift ever hits HBM
         extA = spatial.shard_lines(rolled[:, :L], 1, tag="rows_ext")
         extB = spatial.shard_lines(rolled[:, 1:], 1, tag="rows_ext_hi")
         r8, g8, b8 = spatial.shard_rows_call(
-            lambda e_, eh_, sh_, wi_, wq_, br_, ct_: _df.decode_fused_rows(
-                e_, sh_, wi_, wq_, br_, ct_, ext_hi=eh_, outw=outw,
-                av_len=AV, max_shift=H - 1, coefs=coefs3, interpret=interp),
+            _fused_call,
             extA.astype(jnp.int8).reshape(B * L, H),
             extB.astype(jnp.int8).reshape(B * L, H),
-            xpos_l.reshape(B * L),
+            sh_rows.reshape(B * L),
             wvI_l.reshape(B * L, CC), wvQ_l.reshape(B * L, CC),
-            brr.reshape(B * L), ctr.reshape(B * L))
+            brr.reshape(B * L), ctr.reshape(B * L), *extra)
         rgb = jnp.stack([r8, g8, b8], axis=-1).reshape(B, L, outw, 3)
         out_new = _place_rows(cfg, rgb, out_prev, beg_l, end_l, active_l,
                               mon.blend, mon.scanlines, outh,
-                              field_px=field_px, v_fac=v_fac)
+                              valid=valid, field_px=field_px, v_fac=v_fac)
         state = dict(hsync=hsync_new, vsync=vsync_new, ccf=ccf_new,
                      rn=rn_new, randstate=randstate, inp=inp2d)
         return out_new, state
@@ -758,24 +825,7 @@ def demodulate_core(
         wv_q = fastpath.tile_period(waveQ_l, AV, 0)
 
     if do_bloom:
-        # beam-energy bloom (crt_core.c:399-526): a per-line EMA of scanline
-        # energy modulates the drawn line width.  prev_e is serial across
-        # lines; the EQ consumes samples starting at the (per-line) scanL.
-        max_e = (128 + cdiv(noise, 2)) * AV              # (B,)
-        s_sum = jnp.sum(sig, axis=2)                     # (B, L)
-
-        def bloom_step(prev_e, s_l):
-            prev_e = cdiv(prev_e * 123, 128) + \
-                cdiv(((max_e >> 1) - s_l) << 10, max_e)
-            return prev_e, prev_e
-
-        init_e = jnp.full((B,), 16384 // 8, jnp.int32)
-        _, prev_e = lax.scan(bloom_step, init_e, s_sum.T, unroll=16)
-        prev_e = prev_e.T                                # (B, L)
-        line_w = (AV * 112 // 128) + (prev_e >> 9)
-        dx_l = (line_w << 12) // outw
-        scanL_l = ((AV // 2) - (line_w >> 1) + 8) << 12
-        Lidx = scanL_l >> 12                             # per-line EQ start
+        # per-line dx/scanL/Lidx computed above (shared with the fused path)
         # shift each line so the EQ recurrence starts at its scanL
         pad = jnp.pad(sig, ((0, 0), (0, 0), (0, AV)))
         sig = fastpath.shift_rows(pad.reshape(B * L, 2 * AV),

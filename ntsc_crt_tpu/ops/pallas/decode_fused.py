@@ -25,8 +25,23 @@ multiple of the period the in-chunk phase is static — the (i & 3) / (i+3 & 3)
 indexing (crt_core.c:541-542) costs nothing.  The caller passes the I and Q
 wave tables separately (for 4-sample systems Q is the I table rotated by 3,
 crt_core.c:541-542; 5-sample systems have distinct tables,
-crt_core.c:546-548), so 4- and 5-sample systems share the kernel.  The bloom
-path uses the unfused stages.
+crt_core.c:546-548), so 4- and 5-sample systems share the kernel.
+
+CRT_DO_BLOOM mode (crt_core.c:512-532): the beam-energy emulation gives every
+line its own pixel step `dx` and EQ start `scanL`, so the scan-conversion
+source index s(r, p) = (p * dx_r) >> 12 is per-ROW dynamic — the one decode
+stage whose static smap no longer applies.  Passing `bloom_dx`/`bloom_lidx`
+switches stage 2 to a dynamic walk: per output pixel the kernel derives the
+candidate source range from the BLOCK's dx extrema (two reductions per block,
+scalar math per pixel) and resolves each row's (s, s+1) pair with a
+dynamic-trip fori_loop of masked single-row reads — in a locked block the dx
+spread is tiny, so the loop runs ~3 iterations.  The per-line EQ start folds
+into the alignment shift (caller passes shifts + scanL>>12) and the carrier
+phase offset folds into the wave tables (caller pre-rotates by scanL>>12 mod
+cc), so stages 0-1 are untouched.  The reference's never-written out[AV-1]
+slot (the EQ loop stops at i < AV-1, crt_core.c:525-543) reads as zero via a
+per-row forced-zero index; pixels past scanR (crt_core.c:555 loop bound)
+are masked by the caller's `valid` plane in row placement.
 """
 
 from __future__ import annotations
@@ -85,7 +100,7 @@ def _eq_chain(state, sx, lf, hf, g0, g1, g2):
 FUNNEL_CHUNK = 256  # funnel pass tile along the sample (major) dim
 
 
-def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
+def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None, bloom=False):
     # coefs: 3x (lf, hf, g0, g1, g2) python ints for the 3-band EQ, or
     # ("conv", taps) for the USE_CONVOLUTION FIR build (crt_core.c:96-147)
     conv = coefs[0] == "conv"
@@ -98,7 +113,8 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
     C = FUNNEL_CHUNK
 
     def kernel(sig_ref, sh_ref, wvi_ref, wvq_ref, br_ref, ct_ref, r_ref,
-               g_ref, b_ref, al_s, oy_s, oi_s, oq_s, sigB_ref=None):
+               g_ref, b_ref, al_s, oy_s, oi_s, oq_s, sigB_ref=None,
+               dx_ref=None, lidx_ref=None):
         # --- stage 0: per-row alignment funnel ----------------------------
         # Descending bit order: after applying bit kb, only positions
         # [0, T + 2^kb - 1) remain live for the next pass, so the extent
@@ -195,16 +211,59 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
         lax.fori_loop(0, T // K, chunk, init)
 
         contrast = ct_ref[0]
-        for p, (s, Lw, Rw) in enumerate(smap):
-            y = ((oy_s[s] * Lw) >> 2) + ((oy_s[s + 1] * Rw) >> 2)
-            i = ((oi_s[s] * Lw) >> 14) + ((oi_s[s + 1] * Rw) >> 14)
-            q = ((oq_s[s] * Lw) >> 14) + ((oq_s[s + 1] * Rw) >> 14)
+
+        def emit(p, y, i, q):
             r = (((y + 3879 * i + 2556 * q) >> 12) * contrast) >> 8
             g = (((y - 1126 * i - 2605 * q) >> 12) * contrast) >> 8
             b = (((y - 4530 * i + 7021 * q) >> 12) * contrast) >> 8
             r_ref[p] = jnp.clip(r, 0, 255).astype(jnp.uint8)
             g_ref[p] = jnp.clip(g, 0, 255).astype(jnp.uint8)
             b_ref[p] = jnp.clip(b, 0, 255).astype(jnp.uint8)
+
+        if not bloom:
+            for p, (s, Lw, Rw) in enumerate(smap):
+                y = ((oy_s[s] * Lw) >> 2) + ((oy_s[s + 1] * Rw) >> 2)
+                i = ((oi_s[s] * Lw) >> 14) + ((oi_s[s + 1] * Rw) >> 14)
+                q = ((oq_s[s] * Lw) >> 14) + ((oq_s[s + 1] * Rw) >> 14)
+                emit(p, y, i, q)
+            return
+
+        # --- bloom scan conversion (crt_core.c:512-532, 555-570) ----------
+        # per-row source s(r, p) = (p*dx_r) >> 12; candidate range per pixel
+        # from the block's dx extrema; the (s, s+1) pair resolves by masked
+        # single-row reads over that range (dynamic trip count — in a locked
+        # block all rows share ~one dx, so ~3 iterations live).  out[av-1]
+        # is never written by the reference's EQ loop (i < AV_LEN-1,
+        # crt_core.c:525-543) and reads as static zero -> force it per row.
+        dxv = dx_ref[0]                                   # (sub, 128) int32
+        zb = (av - 1) - lidx_ref[0]                       # forced-zero index
+        dmin = jnp.min(dxv)
+        dmax = jnp.max(dxv)
+        for p in range(outw):
+            rel = p * dxv
+            t = rel >> 12
+            Rw = rel & 0xFFF
+            Lw = 0xFFF - Rw
+            m0 = (p * dmin) >> 12                         # scalar
+            cnt = ((p * dmax + 0xFFF) >> 12) + 2 - m0     # covers t and t+1
+
+            def pick(k, acc, t=t, m0=m0, zb=zb):
+                ay, ai, aq, by, bi, bq = acc
+                idx = m0 + k
+                idc = jnp.minimum(idx, T - 1)             # stay in staging
+                wy, wi, wq = oy_s[idc], oi_s[idc], oq_s[idc]
+                ha = t == idx
+                hb = (t + 1 == idx) & (idx != zb)
+                return (jnp.where(ha, wy, ay), jnp.where(ha, wi, ai),
+                        jnp.where(ha, wq, aq), jnp.where(hb, wy, by),
+                        jnp.where(hb, wi, bi), jnp.where(hb, wq, bq))
+
+            z6 = (jnp.zeros_like(dxv),) * 6
+            ay, ai, aq, by, bi, bq = lax.fori_loop(0, cnt, pick, z6)
+            y = ((ay * Lw) >> 2) + ((by * Rw) >> 2)
+            i = ((ai * Lw) >> 14) + ((bi * Rw) >> 14)
+            q = ((aq * Lw) >> 14) + ((bq * Rw) >> 14)
+            emit(p, y, i, q)
 
     return kernel
 
@@ -214,7 +273,8 @@ def _make_kernel(T, av, outw, coefs, smap, cc, bits, pair=None):
                                     "interpret"))
 def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
                       outw: int, av_len: int = None, max_shift: int = 0,
-                      coefs=None, interpret: bool = False, ext_hi=None):
+                      coefs=None, interpret: bool = False, ext_hi=None,
+                      bloom_dx=None, bloom_lidx=None):
     """ext: int8 (R, E) unaligned row signal; row r's active video starts at
     sample shifts[r] (int32 (R,), 0 <= shift <= max_shift) and spans av_len
     samples — i.e. the kernel consumes ext[r, shifts[r] + t] exactly like
@@ -229,14 +289,24 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
     field row and ext_hi is line l+1's (reads past a row spill into the
     next, crt_core.c:538-543 flat indexing), so the caller never has to
     materialize the (R, E+E2) concat or any XLA-side coarse pre-shift: the
-    whole alignment (all shift bits) runs as in-VMEM funnel passes."""
+    whole alignment (all shift bits) runs as in-VMEM funnel passes.
+
+    bloom_dx / bloom_lidx (int32 (R,), optional, together): CRT_DO_BLOOM
+    mode — per-row pixel step dx (crt_core.c:521) and EQ start scanL>>12
+    (crt_core.c:522).  The caller must fold scanL>>12 into `shifts` and
+    pre-rotate the wave tables by (scanL>>12) mod cc; the kernel then runs
+    the per-row dynamic scan conversion (module docstring)."""
     R, E = ext.shape
     T = E if av_len is None else av_len
     cc = waveI.shape[-1]
     K = _chunk(cc)
     Tp = -(-T // K) * K
-    s, L, Rw = lerp_resample_weights(T, outw)
-    smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
+    bloom = bloom_dx is not None
+    if bloom:
+        smap = None
+    else:
+        s, L, Rw = lerp_resample_weights(T, outw)
+        smap = [(int(s[p]), int(L[p]), int(Rw[p])) for p in range(outw)]
 
     pair = None
     if ext_hi is not None:
@@ -306,22 +376,38 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
     wvq = vec(waveQ, cc)
     br = vec(bright, 1)
     ct = vec(contrast, 1)
+    tail_ins = []
+    if bloom:
+        # pad dx with a REAL row's value, not zero: the kernel derives the
+        # per-pixel candidate range from the block's dx extrema, and a zero
+        # in the padding rows would drag dmin to 0 and blow the dynamic
+        # trip count up to the full band
+        def vec_fill(x):
+            xp = jnp.broadcast_to(x.reshape(R, 1)[:1], (Rp, 1)).at[:R].set(
+                x.reshape(R, 1))
+            return xp.T.reshape(1, RB, sub, LANE).swapaxes(0, 1)
 
-    kern = _make_kernel(Tp, T, outw, coefs, smap, cc, bits, pair=pair)
+        tail_ins = [vec_fill(bloom_dx.astype(jnp.int32)),
+                    vec(bloom_lidx.astype(jnp.int32), 1)]
+
+    kern = _make_kernel(Tp, T, outw, coefs, smap, cc, bits, pair=pair,
+                        bloom=bloom)
+    n_sig = 1 if pair is None else 2
 
     def body(*refs):
-        if pair is None:
-            (sig_r, sh_r, wvi_r, wvq_r, br_r, ct_r, r_r, g_r, b_r,
-             al_s, oys, ois, oqs) = refs
-            kern(sig_r.at[0], sh_r.at[0], wvi_r.at[0], wvq_r.at[0],
-                 br_r.at[0], ct_r.at[0], r_r.at[0], g_r.at[0], b_r.at[0],
-                 al_s, oys, ois, oqs)
-        else:
-            (sig_r, sigb_r, sh_r, wvi_r, wvq_r, br_r, ct_r, r_r, g_r, b_r,
-             al_s, oys, ois, oqs) = refs
-            kern(sig_r.at[0], sh_r.at[0], wvi_r.at[0], wvq_r.at[0],
-                 br_r.at[0], ct_r.at[0], r_r.at[0], g_r.at[0], b_r.at[0],
-                 al_s, oys, ois, oqs, sigB_ref=sigb_r.at[0])
+        sig_rs = refs[:n_sig]
+        (sh_r, wvi_r, wvq_r, br_r, ct_r) = refs[n_sig:n_sig + 5]
+        k = n_sig + 5
+        bkw = {}
+        if bloom:
+            bkw = dict(dx_ref=refs[k].at[0], lidx_ref=refs[k + 1].at[0])
+            k += 2
+        (r_r, g_r, b_r, al_s, oys, ois, oqs) = refs[k:k + 7]
+        if pair is not None:
+            bkw["sigB_ref"] = sig_rs[1].at[0]
+        kern(sig_rs[0].at[0], sh_r.at[0], wvi_r.at[0], wvq_r.at[0],
+             br_r.at[0], ct_r.at[0], r_r.at[0], g_r.at[0], b_r.at[0],
+             al_s, oys, ois, oqs, **bkw)
 
     ospec = pl.BlockSpec((1, outw, sub, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -331,7 +417,8 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
         body,
         grid=(RB,),
         in_specs=[spec(n) for n in sig_specs] +
-                 [spec(1), spec(cc), spec(cc), spec(1), spec(1)],
+                 [spec(1), spec(cc), spec(cc), spec(1), spec(1)] +
+                 [spec(1)] * len(tail_ins),
         out_specs=(ospec, ospec, ospec),
         out_shape=tuple(jax.ShapeDtypeStruct((RB, outw, sub, LANE), jnp.uint8)
                         for _ in range(3)),
@@ -340,10 +427,11 @@ def decode_fused_rows(ext, shifts, waveI, waveQ, bright, contrast, *,
         compiler_params=pltpu.CompilerParams(
             # PV1K's 1520-wide int32 staging needs ~19 MB + the ~3.8 MB
             # ext/alignment int8 buffers; narrower systems keep the
-            # measured-best default headroom
+            # measured-best default headroom (bloom's wider funnel scratch
+            # rides the same budgets)
             vmem_limit_bytes=(44 if Tp > 1024 else 28) * 1024 * 1024),
         interpret=interpret,
-    )(*sig_ins, shv, wvi, wvq, br, ct)
+    )(*sig_ins, shv, wvi, wvq, br, ct, *tail_ins)
 
     def back(x):
         return x.swapaxes(0, 1).reshape(outw, Rp).T[:R]
