@@ -44,7 +44,10 @@ if __name__ == "__main__":
     env = sys.argv[2] if len(sys.argv) > 2 else "NTSC_CRT_HSYNC_KERNEL"
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 10
-    for tag, val in [("on#1", None), ("off", "0"), ("on#2", None),
-                     ("off#2", "0")]:
+    # A/B values: argv[5] = "a,b" (use "unset" for removed); default
+    # suits default-on kernels gated by =0
+    vals = (sys.argv[5] if len(sys.argv) > 5 else "unset,0").split(",")
+    a, b = [None if v == "unset" else v for v in vals[:2]]
+    for tag, val in [("A#1", a), ("B#1", b), ("A#2", a), ("B#2", b)]:
         fps = run(system, batch, iters, env, val)
         print(f"{system} {env}={val} [{tag}]: {fps:.0f} fps", flush=True)

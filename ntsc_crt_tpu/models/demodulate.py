@@ -350,9 +350,10 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     # kernel is gated to the latency regime.  NTSC_CRT_HSYNC_KERNEL=1/0
     # forces it on/off for A/B runs.
     _hsk_env = os.environ.get("NTSC_CRT_HSYNC_KERNEL", "")
+    _hsk_einsum = os.environ.get("NTSC_CRT_HSYNC_EINSUM", "") == "1"
     _use_hsk = (do_hsync and _HSYNC_SCAN and filters._use_pallas()
                 and not spatial.active()
-                and (_hsk_env == "1"
+                and (_hsk_env == "1" or _hsk_einsum
                      or (_hsk_env != "0" and B < _BIG_BATCH)))
     if _use_hsk:
         # --- in-register hsync chase (ops/pallas/hsync_scan.py) ------------
@@ -369,7 +370,8 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
         from ntsc_crt_tpu.ops.pallas import hsync_scan as _hsk
         hseq_bl = _hsk.hsync_chase(
             rows2, active_l, i32(hsync0), W=W, c0=c0, thresh=thresh,
-            H=H, interpret=filters._pallas_interpret())
+            H=H, interpret=filters._pallas_interpret(),
+            einsum_prep=_hsk_einsum and B >= _BIG_BATCH)
         hsync_l = lax.optimization_barrier(hseq_bl)       # (B, L)
         hsync_f = hsync_l[:, L - 1]
     elif do_hsync and _HSYNC_SCAN:

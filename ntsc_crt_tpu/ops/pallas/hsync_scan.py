@@ -139,15 +139,126 @@ def _make_kernel(L, HPw, W, c0, thresh, H, bits_w):
     return kernel, S
 
 
+def _make_kernel_b(L, HP, W, c0, thresh, H, bits):
+    """Byte-granularity variant for the einsum-prep (big batch) path: the
+    MXU transpose delivers (L, HP, B) int8 directly, so the funnel and the
+    threshold scan run on raw bytes (COPY chunk 128 samples)."""
+    tW = 2 * W
+    CB = 128
+    S = tW + (1 << bits)
+
+    def kernel(rows_ref, act_ref, h0_ref, out_ref, hs_s, w_s):
+        l = pl.program_id(0)
+
+        @pl.when(l == 0)
+        def _():
+            hs_s[...] = h0_ref[0]
+
+        hs = hs_s[...]                                   # (sub, LANE) int32
+        base = hs + c0
+        smin = jnp.min(base)
+        rmax0 = jnp.max(base) - smin
+        n_live = jnp.minimum((rmax0 + tW + CB - 1) // CB, HP // CB)
+        start = jnp.minimum(smin, HP - n_live * CB)
+        r = base - start
+        rmax = jnp.max(r)
+
+        rows = rows_ref.at[0]                            # (HP, sub, LANE) s8
+
+        def rpass(c, z):
+            t0 = c * CB
+            w_s[pl.ds(t0, CB)] = rows[pl.ds(start + t0, CB)]
+            return z
+
+        lax.fori_loop(0, n_live, rpass, 0)
+
+        for kb in range(bits - 1, -1, -1):
+            off = 1 << kb
+            ext = tW + off
+            m = ((r >> kb) & 1) == 1
+
+            @pl.when(rmax >= off)
+            def _(off=off, ext=ext, m=m):
+                a = w_s[pl.ds(off, ext)]
+                b = w_s[pl.ds(0, ext)]
+                w_s[pl.ds(0, ext)] = jnp.where(m[None], a, b)
+
+        # threshold scan over the aligned 2W window (crt_core.c:440-445)
+        run = jnp.zeros_like(hs)
+        j = jnp.full_like(hs, tW)
+        found = jnp.zeros(hs.shape, jnp.bool_)
+        for t in range(tW):
+            run = run + w_s[t].astype(jnp.int32)
+            hit = (run <= thresh) & ~found
+            j = jnp.where(hit, t, j)
+            found = found | hit
+
+        nxt = j - W + hs
+        nxt = nxt + jnp.where(nxt < 0, H, 0)
+        nxt = nxt - jnp.where(nxt >= H, H, 0)
+        act = act_ref[0, 0] != 0
+        hs = jnp.where(act, nxt, hs)
+        hs_s[...] = hs
+        out_ref[0] = hs
+
+    return kernel, S
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("W", "c0", "thresh", "H", "interpret"))
+                   static_argnames=("W", "c0", "thresh", "H", "interpret",
+                                    "einsum_prep"))
 def hsync_chase(rows2, active_l, hsync0, *, W: int, c0: int, thresh: int,
-                H: int, interpret: bool = False):
+                H: int, interpret: bool = False, einsum_prep: bool = False):
     """rows2: int8 (B, L, HP) padded per-line rows (the same layout the XLA
     scan reads; HP covers base + 2W for every legal hsync by the caller's
     PAD contract).  active_l: bool (B, L); hsync0: int32 (B,).
-    Returns hseq int32 (B, L) — the estimate AFTER each line's update."""
+    Returns hseq int32 (B, L) — the estimate AFTER each line's update.
+
+    einsum_prep=True (big batch): the (B, L, HP) -> (L, HP, B) relayout is
+    done as a one-hot MXU transpose (s8 x s8 identity dot -> int32 -> s8,
+    ~36 G MACs at batch 256 = sub-ms on the MXU) instead of XLA's
+    sublane-packing shuffle relayout (~47 GB/s) or the int32 word-pack
+    blowup — and the kernel runs at byte granularity on the result."""
     B, L, HP = rows2.shape
+    if einsum_prep:
+        from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
+        sub = shrink_sub(B, SUB, LANE)
+        Bp = sub * LANE
+        bits = int(H - 1 + c0).bit_length()
+        eye = jnp.eye(Bp, B, dtype=jnp.int8)
+        rowsT = jnp.einsum("cb,bls->lsc", eye, rows2,
+                           preferred_element_type=jnp.int32)
+        rowsT = rowsT.astype(jnp.int8).reshape(L, HP, sub, LANE)
+        actP = jnp.zeros((Bp, L), jnp.int32).at[:B].set(
+            active_l.astype(jnp.int32))
+        actT = actP.T.reshape(L, 1, sub, LANE)
+        h0 = jnp.zeros((Bp,), jnp.int32).at[:B].set(
+            jnp.asarray(hsync0, jnp.int32)).reshape(1, sub, LANE)
+        kern, S = _make_kernel_b(L, HP, W, c0, thresh, H, bits)
+        Sb = max(S + 128, HP)
+        out = pl.pallas_call(
+            kern,
+            grid=(L,),
+            in_specs=[
+                pl.BlockSpec((1, HP, sub, LANE), lambda l: (l, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sub, LANE), lambda l: (l, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sub, LANE), lambda l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, sub, LANE), lambda l: (l, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((L, sub, LANE), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((sub, LANE), jnp.int32),      # carried hsync
+                pltpu.VMEM((Sb, sub, LANE), jnp.int8),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(rowsT, actT, h0)
+        return out.reshape(L, Bp).T[:B]
     assert HP % (4 * COPY_C) == 0, "PAD lane-aligns HP to 128 in the caller"
     HPw = HP // 4
     # all kernel operands are int32 (no packed-dtype sublane constraint, cf.
