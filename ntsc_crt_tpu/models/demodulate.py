@@ -350,7 +350,11 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     # kernel is gated to the latency regime.  NTSC_CRT_HSYNC_KERNEL=1/0
     # forces it on/off for A/B runs.
     _hsk_env = os.environ.get("NTSC_CRT_HSYNC_KERNEL", "")
-    _hsk_einsum = os.environ.get("NTSC_CRT_HSYNC_EINSUM", "") == "1"
+    # NTSC_CRT_HSYNC_EINSUM: "1"/"i8", "bf16" or "i32" — the MXU transpose
+    # output dtype the chase kernel reads (see hsync_scan.hsync_chase)
+    _hsk_edt = os.environ.get("NTSC_CRT_HSYNC_EINSUM", "")
+    _hsk_edt = {"1": "i8"}.get(_hsk_edt, _hsk_edt)
+    _hsk_einsum = _hsk_edt in ("i8", "bf16", "i32")
     _use_hsk = (do_hsync and _HSYNC_SCAN and filters._use_pallas()
                 and not spatial.active()
                 and (_hsk_env == "1" or _hsk_einsum
@@ -371,7 +375,8 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
         hseq_bl = _hsk.hsync_chase(
             rows2, active_l, i32(hsync0), W=W, c0=c0, thresh=thresh,
             H=H, interpret=filters._pallas_interpret(),
-            einsum_prep=_hsk_einsum and B >= _BIG_BATCH)
+            einsum_prep=_hsk_einsum and B >= _BIG_BATCH,
+            prep_dtype=_hsk_edt if _hsk_einsum else "i8")
         hsync_l = lax.optimization_barrier(hseq_bl)       # (B, L)
         hsync_f = hsync_l[:, L - 1]
     elif do_hsync and _HSYNC_SCAN:

@@ -140,9 +140,11 @@ def _make_kernel(L, HPw, W, c0, thresh, H, bits_w):
 
 
 def _make_kernel_b(L, HP, W, c0, thresh, H, bits):
-    """Byte-granularity variant for the einsum-prep (big batch) path: the
-    MXU transpose delivers (L, HP, B) int8 directly, so the funnel and the
-    threshold scan run on raw bytes (COPY chunk 128 samples)."""
+    """Sample-granularity variant for the einsum-prep (big batch) path: the
+    MXU transpose delivers (L, HP, B) samples directly (int8, bf16 or int32
+    depending on prep_dtype — the body is dtype-agnostic; the threshold
+    scan converts each sample to int32, exact for the +-127 row values in
+    all three), so the funnel and scan run per sample (COPY chunk 128)."""
     tW = 2 * W
     CB = 128
     S = tW + (1 << bits)
@@ -206,19 +208,26 @@ def _make_kernel_b(L, HP, W, c0, thresh, H, bits):
 
 @functools.partial(jax.jit,
                    static_argnames=("W", "c0", "thresh", "H", "interpret",
-                                    "einsum_prep"))
+                                    "einsum_prep", "prep_dtype"))
 def hsync_chase(rows2, active_l, hsync0, *, W: int, c0: int, thresh: int,
-                H: int, interpret: bool = False, einsum_prep: bool = False):
+                H: int, interpret: bool = False, einsum_prep: bool = False,
+                prep_dtype: str = "i8"):
     """rows2: int8 (B, L, HP) padded per-line rows (the same layout the XLA
     scan reads; HP covers base + 2W for every legal hsync by the caller's
     PAD contract).  active_l: bool (B, L); hsync0: int32 (B,).
     Returns hseq int32 (B, L) — the estimate AFTER each line's update.
 
     einsum_prep=True (big batch): the (B, L, HP) -> (L, HP, B) relayout is
-    done as a one-hot MXU transpose (s8 x s8 identity dot -> int32 -> s8,
-    ~36 G MACs at batch 256 = sub-ms on the MXU) instead of XLA's
-    sublane-packing shuffle relayout (~47 GB/s) or the int32 word-pack
-    blowup — and the kernel runs at byte granularity on the result."""
+    done as a one-hot MXU transpose (s8 x s8 identity dot -> int32, ~36 G
+    MACs at batch 256 = sub-ms on the MXU) instead of XLA's sublane-packing
+    shuffle relayout (~47 GB/s) or the int32 word-pack blowup — and the
+    kernel runs at sample granularity on the result.  prep_dtype picks the
+    transpose OUTPUT dtype the kernel reads: "i8" re-packs to int8 (min
+    VMEM, but the int32->int8 convert costs ~2 ms of (4,1) sublane-pack
+    relayouts — the r4 negative result), "bf16" converts to bfloat16
+    ((16,128) tiles, cheaper convert; exact for +-127 row values), "i32"
+    hands the MXU output straight to the kernel (no convert at all, 4x
+    VMEM)."""
     B, L, HP = rows2.shape
     if einsum_prep:
         from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
@@ -228,7 +237,9 @@ def hsync_chase(rows2, active_l, hsync0, *, W: int, c0: int, thresh: int,
         eye = jnp.eye(Bp, B, dtype=jnp.int8)
         rowsT = jnp.einsum("cb,bls->lsc", eye, rows2,
                            preferred_element_type=jnp.int32)
-        rowsT = rowsT.astype(jnp.int8).reshape(L, HP, sub, LANE)
+        kdt = {"i8": jnp.int8, "bf16": jnp.bfloat16,
+               "i32": jnp.int32}[prep_dtype]
+        rowsT = rowsT.astype(kdt).reshape(L, HP, sub, LANE)
         actP = jnp.zeros((Bp, L), jnp.int32).at[:B].set(
             active_l.astype(jnp.int32))
         actT = actP.T.reshape(L, 1, sub, LANE)
@@ -252,7 +263,7 @@ def hsync_chase(rows2, active_l, hsync0, *, W: int, c0: int, thresh: int,
             out_shape=jax.ShapeDtypeStruct((L, sub, LANE), jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((sub, LANE), jnp.int32),      # carried hsync
-                pltpu.VMEM((Sb, sub, LANE), jnp.int8),
+                pltpu.VMEM((Sb, sub, LANE), kdt),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
