@@ -109,10 +109,19 @@ def bench_latency(system: str = "NTSC", outw=832, outh=624, iters=60):
 
 GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "fixtures", "device_parity_goldens.npz")
-PARITY_SYSTEMS = ("NTSC", "PV1K", "NES")
+# tag -> (system preset, pipeline.step mode kwargs).  The bloom and conv7
+# tags pin the r4 fused decode variants (CRT_DO_BLOOM / USE_CONVOLUTION)
+# on the bench device, not just the base three-band path.
+PARITY_RUNS = {
+    "NTSC": ("NTSC", {}),
+    "PV1K": ("PV1K", {}),
+    "NES": ("NES", {}),
+    "NTSC_bloom": ("NTSC", {"do_bloom": True}),
+    "NTSC_conv7": ("NTSC", {"eq_mode": "conv7"}),
+}
 
 
-def _parity_run(system: str):
+def _parity_run(tag: str):
     """Two small frames (state carried, field toggled) on the DEFAULT
     backend; returns the final state leaves.  Shapes are tiny so this adds
     <1 s to the bench but exercises encoder+decoder+Pallas/bf16 paths on
@@ -122,18 +131,19 @@ def _parity_run(system: str):
     from ntsc_crt_tpu.models.systems import SYSTEMS
     from ntsc_crt_tpu.models import pipeline
 
+    system, mode_kw = PARITY_RUNS[tag]
     cfg = SYSTEMS[system]
     state = pipeline.crt_init(cfg, 128, 96)
     img = jnp.asarray(_inputs(system, cfg, 1)[0])
 
     def fn(state, field, frame):
         return pipeline.step(cfg, state, img, field=field, frame=frame,
-                             noise=7)
+                             noise=7, **mode_kw)
 
     step = jax.jit(fn)
     state = step(state, jnp.int32(0), jnp.int32(0))
     state = step(state, jnp.int32(1), jnp.int32(1))
-    return {f"{system}/{k}": np.asarray(v)
+    return {f"{tag}/{k}": np.asarray(v)
             for k, v in state._asdict().items()}
 
 
@@ -148,7 +158,7 @@ def make_goldens():
     assert jax.default_backend() == "cpu", \
         "goldens must be generated on CPU (set JAX_PLATFORMS=cpu)"
     arrs = {}
-    for s in PARITY_SYSTEMS:
+    for s in PARITY_RUNS:
         arrs.update(_parity_run(s))
     np.savez_compressed(GOLDENS, **arrs)
     print(f"wrote {GOLDENS}: {sorted(arrs)}")
@@ -161,7 +171,11 @@ def check_device_parity() -> int:
         return 0
     ref = np.load(GOLDENS)
     ok = 1
-    for s in PARITY_SYSTEMS:
+    for s in PARITY_RUNS:
+        if not any(k.startswith(s + "/") for k in ref.files):
+            print(f"# parity MISSING goldens for {s} — regenerate", flush=True)
+            ok = 0
+            continue
         got = _parity_run(s)
         for k, v in got.items():
             if not np.array_equal(ref[k], v):

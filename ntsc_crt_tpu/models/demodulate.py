@@ -60,6 +60,11 @@ _HSYNC_SCAN = os.environ.get("NTSC_CRT_HSYNC_TABLE", "") != "1"
 # used by the vsync integration and the hsync probe window test.  Both
 # sides are pinned equal by tests/test_fastpath.py::test_batch_regime_paths.
 _BIG_BATCH = int(os.environ.get("NTSC_CRT_BIG_BATCH", "16"))
+# Jacobi sweeps before the hsync fixpoint gives up and pays the serial
+# chain (see _line_scan): locked steady state certifies at sweep 2; each
+# extra sweep extends the exact prefix by >= 1 line, so 4 covers small
+# jitter without approaching the serial chain's cost.
+_FIXPOINT_SWEEPS = int(os.environ.get("NTSC_CRT_FIXPOINT_SWEEPS", "4"))
 
 
 class MonitorParams(NamedTuple):
@@ -473,9 +478,121 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
             hsync = jnp.where(act, nxt, hsync)
             return hsync, hsync
 
-        hsync_f, hseq = lax.scan(hstep, i32(hsync0),
-                                 jnp.arange(L, dtype=jnp.int32), unroll=8)
-        hsync_l = lax.optimization_barrier(jnp.swapaxes(hseq, 0, 1))  # (B, L)
+        def _serial_chain():
+            _, hseq = lax.scan(hstep, i32(hsync0),
+                               jnp.arange(L, dtype=jnp.int32), unroll=8)
+            return jnp.swapaxes(hseq, 0, 1)                # (B, L)
+
+        # --- Jacobi/fixpoint sweep (big-batch steady state) ----------------
+        # The chain h_{l+1} = f_l(h_l) is serial, but when the chase is
+        # LOCKED f_l is locally CONSTANT in h: if the sync edge sits at
+        # absolute column a_l, the probe offset compensates the guess —
+        # f_l(h) = a_l - c0 - W for any h whose window [h+c0, h+c0+2W)
+        # still captures the edge.  So probing ALL lines in parallel at the
+        # carried estimate and re-chaining converges in exactly 2 sweeps in
+        # steady state (sweep 1 computes the a_l-anchored values, sweep 2
+        # verifies the shifted chain is a fixpoint).  Each sweep is one
+        # fused masked-select pass over the SAME (B, L, nblk, 128) blocks
+        # view the burst extraction reads — no per-line dispatches, and no
+        # while-carry relayout of the padded rows.  Prefix-exactness grows
+        # by >= 1 line per sweep, so an unconverged frame (startup, heavy
+        # noise) falls back to the serial scan after K sweeps under
+        # lax.cond — the result is bit-exact in EVERY regime by
+        # construction.
+        #
+        # STATUS: opt-in (NTSC_CRT_HSYNC_FIXPOINT=1), measured r4 NEGATIVE
+        # at batch 256 — NTSC 10.5-10.6k vs 13.5-14.0k fps/chip with the
+        # serial scan, PV1K 7.9-8.1k vs 9.9-10.0k (rotated A/B, 5 runs
+        # each).  The convergence math holds (parity-pinned incl. the
+        # fallback branch, test_hsync_fixpoint_matches_scan), but each
+        # probe_all sweep re-reads the whole (B, L, nblk, 128) blocks view
+        # and re-runs the einsum window build L-batched — ~4 sweeps of
+        # that dwarf the 240-step scan's dispatch overhead, and the
+        # while_loop walls off fusion with the neighbouring stages.  See
+        # docs/PERF.md r4 negatives — don't redo.
+        _fix_env = os.environ.get("NTSC_CRT_HSYNC_FIXPOINT", "")
+        _use_fix = _fix_env == "1"
+        if _use_fix:
+            h0 = i32(hsync0)
+            iota_bl48 = iota_48[None, None]                # (1, 1, 48)
+            # probe_all formulation: the 2-hot pair select per (b, l) can be
+            # nblk-1 masked accumulator passes over `blocks` ("select") or a
+            # single batched one-hot MXU contraction ("einsum", the same
+            # shape math as hstep's big-batch branch, L batched — one read
+            # of blocks per sweep instead of nblk-1 accumulator rewrites).
+            _fix_form = os.environ.get("NTSC_CRT_FIXPOINT_FORM", "einsum")
+
+            def probe_all(G):
+                """f_l(G[:, l]) for every line at once — identical window
+                math to hstep's big-batch branch, L batched."""
+                baseA = G + c0                             # (B, L)
+                qA, rA = baseA >> 7, baseA & 127
+                q2A, r2A = rA >> 4, rA & 15
+                if _fix_form == "einsum":
+                    oh2A = (iota_n[None, None, None] ==
+                            (qA[..., None] + iota_2[None, None])[..., None]
+                            ).astype(dt)                   # (B, L, 2, nblk)
+                    pairA = jnp.einsum(
+                        "blkn,blnm->blkm", oh2A, blocks.astype(dt),
+                        preferred_element_type=jnp.float32)
+                    pairA = pairA.reshape(B, L, 16, 16).astype(dt)
+                    oh3A = (iota_g[None, None, None] ==
+                            (q2A[..., None] + iota_3[None, None])[..., None]
+                            ).astype(dt)                   # (B, L, 3, 16)
+                    winA = jnp.einsum(
+                        "blkg,blgm->blkm", oh3A, pairA,
+                        preferred_element_type=jnp.float32)
+                    winA = winA.reshape(B, L, 48).astype(jnp.int32)
+                else:
+                    z8 = jnp.int8(0)
+                    pairA = jnp.zeros((B, L, 2, 128), jnp.int8)
+                    for v in range(nblk - 1):
+                        pairA = pairA + jnp.where(
+                            (qA == v)[..., None, None],
+                            blocks[:, :, v:v + 2], z8)
+                    pairA = pairA.reshape(B, L, 256)
+                    # 3-granule window [q2, q2+2] = samples [16q2, 16q2+48):
+                    # contains [base, base+tW) for any r2 (r2 + tW <= 47);
+                    # q2 <= 7 so the 48-slice stays inside the 256 pair
+                    winA = jnp.zeros((B, L, 48), jnp.int8)
+                    for v in range(8):
+                        winA = winA + jnp.where(
+                            (q2A == v)[..., None],
+                            pairA[:, :, 16 * v:16 * v + 48], z8)
+                    winA = winA.astype(jnp.int32)
+                S = jnp.cumsum(winA, axis=-1)
+                Sexc = jnp.pad(S, ((0, 0), (0, 0), (1, 0)))[:, :, :16]
+                S0 = fastpath.onehot_pick(Sexc, r2A)       # (B, L)
+                hitp = ((S - S0[..., None] <= thresh)
+                        & (iota_bl48 >= r2A[..., None])
+                        & (iota_bl48 < (r2A + tW)[..., None]))
+                p_star = jnp.argmax(hitp, axis=-1).astype(jnp.int32)
+                j = jnp.where(jnp.any(hitp, axis=-1), p_star - r2A, tW)
+                nxt = posmod(j - W + G, H)
+                return jnp.where(active_l, nxt, G)
+
+            def sweep_body(c):
+                G, _, _, it = c
+                Y = probe_all(G)
+                Gn = jnp.concatenate([h0[:, None], Y[:, :-1]], axis=1)
+                return Gn, Y, jnp.all(Gn == G), it + 1
+
+            def sweep_cond(c):
+                _, _, done, it = c
+                return jnp.logical_and(~done, it < _FIXPOINT_SWEEPS)
+
+            G0 = jnp.broadcast_to(h0[:, None], (B, L))
+            _, Yf, done, _ = lax.while_loop(
+                sweep_cond, sweep_body,
+                (G0, G0, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+            # done=True certifies Yf: Yf was probed from a G equal to its
+            # own shifted chain, so Yf[l] = f_l(Yf[l-1]) for every line —
+            # exactly the scan's outputs.  Otherwise pay the serial chain.
+            hsync_l = lax.cond(done, lambda: Yf, _serial_chain)
+        else:
+            hsync_l = _serial_chain()
+        hsync_l = lax.optimization_barrier(hsync_l)        # (B, L)
+        hsync_f = hsync_l[:, L - 1]
     elif do_hsync:
         # --- hsync transition table (crt_core.c:434-450, all h at once) ----
         # window at candidate h starts at column h + sync_beg - W; running
@@ -565,25 +682,39 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     col_for_cls = np.asarray([(k - cfg.cb_beg) % CC for k in range(CC)])
     per_cls = bvals.reshape(B, L, m, CC)[:, :, :, jnp.asarray(col_for_cls)]
 
-    # --- ccf EMA chain: (B, cc)-vector scan, no memory traffic -------------
-    vp_oh_l = (vper_l[..., None] ==
-               jnp.arange(cfg.cc_vper, dtype=jnp.int32))  # (B, L, VP)
+    # --- ccf EMA chain: serial across lines, tiny per-line compute ---------
+    # NTSC_CRT_CCF_KERNEL=1 opts into the in-register Pallas chain
+    # (ops/pallas/ccf_scan.py).  Measured r4: NTSC 14.1k vs 14.6k fps/chip
+    # with the XLA scan — a ~3% END-TO-END REGRESSION (flat on PV1K); the
+    # (L, ..., sub, LANE) prep transposes plus the 240-step serial grid
+    # cost more than the scan's loop overhead saves (the unroll=16 scan
+    # fuses its tiny per-line selects well).  Kept opt-in + parity-tested
+    # like place_rows; the scan is the measured default.
+    _cck_env = os.environ.get("NTSC_CRT_CCF_KERNEL", "")
+    if (_cck_env == "1" and filters._use_pallas() and not spatial.active()):
+        from ntsc_crt_tpu.ops.pallas import ccf_scan as _cck
+        ccf_f, ccr_l = _cck.ccf_ema(
+            per_cls, vper_l, active_l, jnp.asarray(ccf0, jnp.int32),
+            interpret=filters._pallas_interpret())
+    else:
+        vp_oh_l = (vper_l[..., None] ==
+                   jnp.arange(cfg.cc_vper, dtype=jnp.int32))  # (B, L, VP)
 
-    def cstep(ccf, xs):
-        pc, row_oh, act = xs      # (B, m, CC), (B, VP), (B,)
-        ccr = jnp.sum(jnp.where(row_oh[:, :, None], ccf, 0), axis=1)
-        ccr_new = ccr
-        for mm in range(m):
-            ccr_new = cdiv(ccr_new * 127, 128) + pc[:, mm]
-        ccr = jnp.where(act[:, None], ccr_new, ccr)
-        ccf = jnp.where(row_oh[:, :, None], ccr[:, None, :], ccf)
-        return ccf, ccr
+        def cstep(ccf, xs):
+            pc, row_oh, act = xs      # (B, m, CC), (B, VP), (B,)
+            ccr = jnp.sum(jnp.where(row_oh[:, :, None], ccf, 0), axis=1)
+            ccr_new = ccr
+            for mm in range(m):
+                ccr_new = cdiv(ccr_new * 127, 128) + pc[:, mm]
+            ccr = jnp.where(act[:, None], ccr_new, ccr)
+            ccf = jnp.where(row_oh[:, :, None], ccr[:, None, :], ccf)
+            return ccf, ccr
 
-    ccf_f, ccr_seq = lax.scan(
-        cstep, jnp.asarray(ccf0, jnp.int32),
-        (jnp.swapaxes(per_cls, 0, 1), jnp.swapaxes(vp_oh_l, 0, 1),
-         jnp.swapaxes(active_l, 0, 1)), unroll=16)
-    ccr_l = jnp.swapaxes(ccr_seq, 0, 1)                   # (B, L, CC)
+        ccf_f, ccr_seq = lax.scan(
+            cstep, jnp.asarray(ccf0, jnp.int32),
+            (jnp.swapaxes(per_cls, 0, 1), jnp.swapaxes(vp_oh_l, 0, 1),
+             jnp.swapaxes(active_l, 0, 1)), unroll=16)
+        ccr_l = jnp.swapaxes(ccr_seq, 0, 1)               # (B, L, CC)
 
     # --- decode waves, vectorized over lines --------------------------------
     phasealign = posmod(hsync_l, CC)                      # (B, L)
@@ -997,17 +1128,23 @@ def _place_rows_uniform(cfg, rgb, out_prev, field_px, blend: int,
     fp = ((((outh << 16) // L) + 32768) >> 16) // 2
 
     if outh == ratio * L:
-        if (filters._use_pallas() and not spatial.active()
-                and os.environ.get("NTSC_CRT_PLACE_KERNEL")):
-            # single-pass Pallas store kernel (ops/pallas/place_rows.py):
-            # emits the final interleaved output directly.  OPT-IN ONLY —
-            # measured a 25% end-to-end REGRESSION vs the stacked XLA form
-            # on v5e (PV1K 7,574 vs 10,044 fps/chip; the (B,)-grid's
-            # per-step strided slot stores lose to XLA's fused elementwise
-            # passes — docs/PERF.md r3 negatives).  Kept for future work on
-            # multi-row grid blocking; bit-exactness still asserted in
-            # interpret mode (tests/test_pallas_kernels.py).
+        _pk = os.environ.get("NTSC_CRT_PLACE_KERNEL", "")
+        if filters._use_pallas() and not spatial.active() and _pk:
+            # single-pass Pallas store kernels (ops/pallas/place_rows.py):
+            # emit the final interleaved output directly.  OPT-IN ONLY —
+            # =1 (grid (B,), per-slot strided stores) measured a 25%
+            # end-to-end REGRESSION vs the stacked XLA form on v5e (PV1K
+            # 7,574 vs 10,044 fps/chip, r3); =2 is the multi-row grid
+            # (one stacked store per TL-row tile) — see docs/PERF.md for
+            # its measured A/B.  Bit-exactness asserted in interpret mode
+            # (tests/test_pallas_kernels.py).
             from ntsc_crt_tpu.ops.pallas import place_rows as _pr
+            if _pk == "2":
+                return _pr.place_rows_uniform_tiled(
+                    rgb8, old, field_px, blend=blend, scanlines=scanlines,
+                    ratio=ratio, fp=fp,
+                    tile_rows=int(os.environ.get("NTSC_CRT_PLACE_TL", "0")),
+                    interpret=filters._pallas_interpret())
             return _pr.place_rows_uniform(
                 rgb8, old, field_px, blend=blend, scanlines=scanlines,
                 ratio=ratio, fp=fp, interpret=filters._pallas_interpret())

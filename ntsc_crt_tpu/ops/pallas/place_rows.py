@@ -91,6 +91,150 @@ def _kernel(fld_ref, rgb_ref, old_ref, out_ref, *,
         out_ref[0, :, j, :] = jnp.where(keep, old_ref[0, :, j, :], src)
 
 
+def _slot_planes(fb, rgb_t, rgbm1_t, ob0, obf, obfm1, old_tile, kidx, *,
+                 blend: int, scanlines: int, ratio: int, fp: int, L: int):
+    """Shared slot-plane math for the stacked-store variants: returns the
+    (rows, ratio, w3) block as ONE jnp.stack (single contiguous store) —
+    the r3 kernel's per-slot strided sublane stores are the prime suspect
+    for its 25% regression.  Inputs are the (rows, w3) tile views; kidx is
+    the (rows, 1) GLOBAL row index."""
+    slots = []
+    for j in range(ratio):
+        shift_j = fp > 0 and j < fp          # slot reads line k-1 (odd field)
+        src = jnp.where(fb, rgbm1_t, rgb_t) if shift_j else rgb_t
+        if blend:
+            if fp:
+                old_beg = jnp.where(fb, obfm1 if shift_j else obf, ob0)
+            else:
+                old_beg = ob0
+            src = ((src.astype(jnp.int16) >> 1) +
+                   (old_beg.astype(jnp.int16) >> 1)).astype(jnp.uint8)
+        ks = jnp.where(fb, ((j - fp) % ratio) >= ratio - scanlines,
+                       j >= ratio - scanlines)
+        keep = jnp.broadcast_to(ks, kidx.shape)
+        if fp > 0 and j < fp:
+            keep = keep | ((kidx == 0) & fb)
+        if fp > 0 and j > fp and j >= ratio - scanlines:
+            keep = keep | ((kidx == L - 1) & fb)
+        slots.append(jnp.where(keep, old_tile[:, j, :], src))
+    return jnp.stack(slots, axis=1)          # (rows, ratio, w3)
+
+
+def _kernel_stacked(fld_ref, rgb_ref, old_ref, out_ref, *,
+                    blend: int, scanlines: int, ratio: int, fp: int, L: int):
+    """Grid (B,) like the r3 kernel, but the whole (L, ratio, w3) block is
+    emitted in ONE store; all loads/stores static (Mosaic cannot lower
+    dynamic-start sublane loads on int8 blocks, so the row-tiled variant
+    below precomputes its halo planes in XLA instead of slicing here)."""
+    fb = fld_ref[pl.program_id(0)] > 0       # this element's field bit
+    rgb = rgb_ref[0]                         # (L, w3) uint8
+    rgbm1 = jnp.concatenate([rgb[:1], rgb[:-1]], axis=0) if fp else None
+    ob0 = obf = obfm1 = None
+    if blend:
+        ob0 = old_ref[0, :, 0, :]
+        if fp:
+            obf = old_ref[0, :, fp, :]
+            obfm1 = jnp.concatenate([obf[:1], obf[:-1]], axis=0)
+    kidx = lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+    out_ref[0] = _slot_planes(fb, rgb, rgbm1, ob0, obf, obfm1, old_ref[0],
+                              kidx, blend=blend, scanlines=scanlines,
+                              ratio=ratio, fp=fp, L=L)
+
+
+def _kernel_rowtiled(fld_ref, rgb_ref, rgbm1_ref, ob0_ref, obf_ref,
+                     obfm1_ref, old_ref, out_ref, *,
+                     blend: int, scanlines: int, ratio: int, fp: int,
+                     L: int, TL: int):
+    """Multi-row grid (B, T): every ref is a (1, TL, ...) block at row tile
+    t, so DMA in/out pipelines across the t axis with no dynamic slicing;
+    the odd-field k-1 halo planes (rgbm1/obfm1) arrive precomputed."""
+    fb = fld_ref[pl.program_id(0)] > 0
+    t = pl.program_id(1)
+    kidx = t * TL + lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
+    out_ref[0] = _slot_planes(
+        fb, rgb_ref[0], rgbm1_ref[0] if fp else None,
+        ob0_ref[0] if blend else None,
+        obf_ref[0] if (blend and fp) else None,
+        obfm1_ref[0] if (blend and fp) else None,
+        old_ref[0], kidx, blend=blend, scanlines=scanlines,
+        ratio=ratio, fp=fp, L=L)
+
+
+@functools.partial(jax.jit, static_argnames=("blend", "scanlines", "ratio",
+                                             "fp", "tile_rows", "interpret"))
+def place_rows_uniform_tiled(rgb8, old, field_px, *, blend: int,
+                             scanlines: int, ratio: int, fp: int,
+                             tile_rows: int = 0, interpret: bool = False):
+    """Stacked-store forms of place_rows_uniform (NTSC_CRT_PLACE_KERNEL=2).
+    Same contract and bit-exactness obligations.  tile_rows=0: grid (B,),
+    whole-L blocks, one store (pure store-pathology fix vs the r3 kernel).
+    tile_rows>0: grid (B, T) with `tile_rows` output rows per step (snapped
+    down to a divisor of L) and XLA-precomputed halo planes."""
+    B, L, w, _ = rgb8.shape
+    w3 = w * 3
+    rgb = rgb8.reshape(B, L, w3)
+    old4 = old.reshape(B, L, ratio, w3)
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+    if not tile_rows:
+        kern = functools.partial(_kernel_stacked, blend=int(blend),
+                                 scanlines=int(scanlines), ratio=int(ratio),
+                                 fp=int(fp), L=L)
+        grp = pl.BlockSpec((1, L, ratio, w3), lambda b: (b, 0, 0, 0))
+        out = pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, L, w3), lambda b: (b, 0, 0)),
+                grp,
+            ],
+            out_specs=grp,
+            out_shape=jax.ShapeDtypeStruct((B, L, ratio, w3), jnp.uint8),
+            compiler_params=vmem,
+            interpret=interpret,
+        )(field_px.astype(jnp.int32), rgb, old4)
+        return out.reshape(B, ratio * L, w, 3)
+
+    TL = max(d for d in range(1, min(tile_rows, L) + 1) if L % d == 0)
+    # halo planes, one XLA concat each (fused into the producers; ~1 extra
+    # read+write of a (B, L, w3) u8 plane per enabled halo)
+    zero = jnp.zeros((B, 1, w3), jnp.uint8)
+    rgbm1 = (jnp.concatenate([rgb[:, :1], rgb[:, :-1]], axis=1)
+             if fp else zero)
+    if blend:
+        ob0 = old4[:, :, 0, :]
+        obf = old4[:, :, fp, :] if fp else zero
+        obfm1 = (jnp.concatenate([obf[:, :1], obf[:, :-1]], axis=1)
+                 if fp else zero)
+    else:
+        ob0 = obf = obfm1 = zero
+    row = pl.BlockSpec((1, TL, w3), lambda b, t: (b, t, 0))
+    nul = pl.BlockSpec((1, 1, w3), lambda b, t: (b, 0, 0))
+    grp = pl.BlockSpec((1, TL, ratio, w3), lambda b, t: (b, t, 0, 0))
+    kern = functools.partial(_kernel_rowtiled, blend=int(blend),
+                             scanlines=int(scanlines), ratio=int(ratio),
+                             fp=int(fp), L=L, TL=TL)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, L // TL),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row,
+            row if fp else nul,
+            row if blend else nul,
+            row if (blend and fp) else nul,
+            row if (blend and fp) else nul,
+            grp,
+        ],
+        out_specs=grp,
+        out_shape=jax.ShapeDtypeStruct((B, L, ratio, w3), jnp.uint8),
+        compiler_params=vmem,
+        interpret=interpret,
+    )(field_px.astype(jnp.int32), rgb, rgbm1, ob0, obf, obfm1, old4)
+    return out.reshape(B, ratio * L, w, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("blend", "scanlines", "ratio",
                                              "fp", "interpret"))
 def place_rows_uniform(rgb8, old, field_px, *, blend: int, scanlines: int,

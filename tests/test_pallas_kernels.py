@@ -322,3 +322,52 @@ def test_place_rows_kernel_matches_stacked(rng, ratio, blend):
             scanlines=scanlines, ratio=ratio, fp=fp, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
                                       err_msg=f"sl={scanlines}")
+        for tl in (0, 2, 3, 6):  # 0 = grid (B,) stacked store; 6 = one tile
+            got2 = pr.place_rows_uniform_tiled(
+                jnp.asarray(rgb, jnp.uint8), old, field_px, blend=blend,
+                scanlines=scanlines, ratio=ratio, fp=fp, tile_rows=tl,
+                interpret=True)
+            np.testing.assert_array_equal(
+                np.asarray(got2), np.asarray(ref),
+                err_msg=f"tiled sl={scanlines} tl={tl}")
+
+
+@pytest.mark.parametrize("VP,CC,m,B,L",
+                         [(3, 4, 5, 7, 33),     # NTSC-shaped, odd batch
+                          (1, 4, 5, 9, 26),     # VP=1 (NES/PV1K-style)
+                          (5, 8, 4, 17, 30),    # wide-CC stress
+                          (3, 4, 5, 1, 40)])    # batch-1 (live regime)
+def test_ccf_kernel_matches_scan(rng, VP, CC, m, B, L):
+    """The in-register ccf EMA chain (ops/pallas/ccf_scan.py) must emit the
+    exact per-line ccr sequence and final state of the lax.scan formulation
+    in demodulate._line_scan (crt_core.c:452-466 semantics)."""
+    from jax import lax
+    from ntsc_crt_tpu.ops.pallas import ccf_scan
+    from ntsc_crt_tpu.ops.fixedpoint import cdiv
+
+    per = jnp.asarray(rng.randint(-(1 << 20), 1 << 20, (B, L, m, CC),
+                                  dtype=np.int32))
+    vper = jnp.asarray(rng.randint(0, VP, (B, L), dtype=np.int32))
+    act = jnp.asarray(rng.randint(0, 2, (B, L)).astype(bool))
+    ccf0 = jnp.asarray(rng.randint(-(1 << 20), 1 << 20, (B, VP, CC),
+                                   dtype=np.int32))
+
+    vp_oh_l = vper[..., None] == jnp.arange(VP, dtype=jnp.int32)
+
+    def cstep(ccf, xs):
+        pc, row_oh, a = xs
+        ccr = jnp.sum(jnp.where(row_oh[:, :, None], ccf, 0), axis=1)
+        ccr_new = ccr
+        for mm in range(m):
+            ccr_new = cdiv(ccr_new * 127, 128) + pc[:, mm]
+        ccr = jnp.where(a[:, None], ccr_new, ccr)
+        ccf = jnp.where(row_oh[:, :, None], ccr[:, None, :], ccf)
+        return ccf, ccr
+
+    f_ref, r_seq = lax.scan(
+        cstep, ccf0, (jnp.swapaxes(per, 0, 1), jnp.swapaxes(vp_oh_l, 0, 1),
+                      jnp.swapaxes(act, 0, 1)))
+    r_ref = jnp.swapaxes(r_seq, 0, 1)
+    f_k, r_k = ccf_scan.ccf_ema(per, vper, act, ccf0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(f_k), np.asarray(f_ref))
+    np.testing.assert_array_equal(np.asarray(r_k), np.asarray(r_ref))
