@@ -75,6 +75,57 @@ def bench_system(system: str, batch: int, iters: int, outw=640, outh=480,
     return batch * iters / dt
 
 
+def bench_video(system: str, T: int, batch: int, iters: int,
+                outw=640, outh=480, mode="strided"):
+    """Throughput of the VIDEO pipeline — the reference's actual batch
+    workload (extra/video_convert.c:246-277).  `strided` is the throughput
+    claim (B interleaved sub-videos, each an exact CRT emulation);
+    `exact` is the latency-honesty number (strict sequential frame chain,
+    bit-identical to the C driver's state flow)."""
+    import jax
+    import jax.numpy as jnp
+    from ntsc_crt_tpu.models.systems import SYSTEMS
+    from ntsc_crt_tpu.models import pipeline, video
+    from ntsc_crt_tpu.parallel import mesh as pmesh
+
+    cfg = SYSTEMS[system]
+    frames = jnp.asarray(_inputs(system, cfg, T))
+    checksum = lambda s: int(np.asarray(s.hsync).sum())
+
+    if mode == "strided":
+        states = pmesh.init_batch(cfg, batch, outw, outh)
+
+        def fn(states, frames):
+            st, outs = video.video_strided(cfg, states, frames, noise=12)
+            # fold the outputs so steady-state iterations don't hold T full
+            # frames live (the driver would stream them to disk)
+            return st, outs.astype(jnp.uint32).sum()
+
+        run = jax.jit(fn, donate_argnums=(0,))
+        states, _ = run(states, frames)
+        checksum(states)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            states, _ = run(states, frames)
+        checksum(states)
+        return T * iters / (time.perf_counter() - t0)
+
+    state = pipeline.crt_init(cfg, outw, outh)
+
+    def fn(state, frames):
+        st, outs = video.video_exact(cfg, state, frames, noise=12)
+        return st, outs.astype(jnp.uint32).sum()
+
+    run = jax.jit(fn, donate_argnums=(0,))
+    state, _ = run(state, frames)
+    checksum(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = run(state, frames)
+    checksum(state)
+    return T * iters / (time.perf_counter() - t0)
+
+
 def bench_latency(system: str = "NTSC", outw=832, outh=624, iters=60):
     """Batch-1 per-frame latency — the live/60 Hz use case
     (crt_main.c:284-557 runs an 832x624 window at 60 Hz)."""
@@ -109,30 +160,56 @@ def bench_latency(system: str = "NTSC", outw=832, outh=624, iters=60):
 
 GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "fixtures", "device_parity_goldens.npz")
-# tag -> (system preset, pipeline.step mode kwargs).  The bloom and conv7
-# tags pin the r4 fused decode variants (CRT_DO_BLOOM / USE_CONVOLUTION)
-# on the bench device, not just the base three-band path.
+# tag -> (system preset, pipeline.step mode kwargs, batch).  The bloom and
+# conv7 tags pin the r4 fused decode variants (CRT_DO_BLOOM /
+# USE_CONVOLUTION) on the bench device, not just the base three-band path.
+# The batch-16 tags (VERDICT r4 #1) replay the THROUGHPUT regime: every
+# shipped fps number runs batch >= _BIG_BATCH, which takes different code —
+# the triangular-ones vsync matmul (demodulate.py _vsync_big_batch), the
+# big-batch hsync probe branch, and for NTSCVHS the TPU-only region-B
+# Pallas march (ops/pallas/vhs_scan.py) — none of which run at batch 1.
+# SNES/NESRGB cover the remaining encoder families on-device.
 PARITY_RUNS = {
-    "NTSC": ("NTSC", {}),
-    "PV1K": ("PV1K", {}),
-    "NES": ("NES", {}),
-    "NTSC_bloom": ("NTSC", {"do_bloom": True}),
-    "NTSC_conv7": ("NTSC", {"eq_mode": "conv7"}),
+    "NTSC": ("NTSC", {}, 1),
+    "PV1K": ("PV1K", {}, 1),
+    "NES": ("NES", {}, 1),
+    "SNES": ("SNES", {}, 1),
+    "NESRGB": ("NESRGB", {}, 1),
+    "NTSCVHS": ("NTSCVHS", {}, 1),
+    "NTSC_bloom": ("NTSC", {"do_bloom": True}, 1),
+    "NTSC_conv7": ("NTSC", {"eq_mode": "conv7"}, 1),
+    "NTSC_b16": ("NTSC", {}, 16),
+    "PV1K_b16": ("PV1K", {}, 16),
+    "NTSCVHS_b16": ("NTSCVHS", {}, 16),
 }
 
 
 def _parity_run(tag: str):
     """Two small frames (state carried, field toggled) on the DEFAULT
     backend; returns the final state leaves.  Shapes are tiny so this adds
-    <1 s to the bench but exercises encoder+decoder+Pallas/bf16 paths on
-    whatever hardware the driver runs bench.py on."""
+    ~seconds to the bench but exercises encoder+decoder+Pallas/bf16 paths —
+    in BOTH batch regimes — on whatever hardware the driver runs bench.py
+    on.  Batched runs go through the exact bench path (init_batch +
+    make_batched_step with donated Layout.AUTO state)."""
     import jax
     import jax.numpy as jnp
     from ntsc_crt_tpu.models.systems import SYSTEMS
     from ntsc_crt_tpu.models import pipeline
 
-    system, mode_kw = PARITY_RUNS[tag]
+    system, mode_kw, batch = PARITY_RUNS[tag]
     cfg = SYSTEMS[system]
+    if batch > 1:
+        from ntsc_crt_tpu.parallel import mesh as pmesh
+        states = pmesh.init_batch(cfg, batch, 128, 96)
+        step = pmesh.make_batched_step(cfg, noise=7, **mode_kw)
+        imgs = jnp.asarray(_inputs(system, cfg, batch, w=80, h=60))
+        zeros = jnp.zeros((batch,), jnp.int32)
+        # second step toggles field/frame per slot so both parities appear
+        alt = jnp.arange(batch, dtype=jnp.int32) % 2
+        states = step(states, imgs, zeros, zeros, zeros)
+        states = step(states, imgs, alt, alt, zeros)
+        return {f"{tag}/{k}": np.asarray(v)
+                for k, v in states._asdict().items()}
     state = pipeline.crt_init(cfg, 128, 96)
     img = jnp.asarray(_inputs(system, cfg, 1)[0])
 
@@ -191,6 +268,8 @@ def main():
     ap.add_argument("--system", "-s", default="NTSC")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--latency", action="store_true")
+    ap.add_argument("--video", choices=["strided", "exact"],
+                    help="bench the video pipeline (models/video.py)")
     ap.add_argument("--stages", action="store_true")
     ap.add_argument("--kernels", action="store_true")
     ap.add_argument("--make-goldens", action="store_true")
@@ -257,6 +336,20 @@ def main():
                    "vs_baseline": round(fps / TARGET_FPS, 3)}
             print(json.dumps(rec), flush=True)
             results.append(rec)
+        # the reference's actual throughput workload: the video pipeline
+        # (extra/video_convert.c:246-277) in both execution modes
+        vids = [("video_strided_ntsc", "NTSC", "strided", 1024, batch),
+                ("video_strided_ntscvhs", "NTSCVHS", "strided", 1024, batch),
+                ("video_exact_ntsc", "NTSC", "exact", 64, 1),
+                ("video_exact_ntscvhs", "NTSCVHS", "exact", 64, 1)]
+        for name, s, mode, T, b in vids:
+            fps = bench_video(s, T=T, batch=b, iters=max(2, iters // 3),
+                              mode=mode)
+            rec = {"metric": f"{name}_640x480",
+                   "value": round(fps, 1), "unit": "frames/sec/chip",
+                   "vs_baseline": round(fps / TARGET_FPS, 3)}
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
         lat = bench_latency()
         rec = {"metric": "ntsc_batch1_latency_832x624",
                "value": round(lat, 3), "unit": "ms/frame",
@@ -265,6 +358,17 @@ def main():
         results.append(rec)
         with open("BENCH_FULL.json", "w") as f:
             json.dump(results, f, indent=1)
+        return
+
+    if args.video:
+        T = 1024 if args.video == "strided" else 64
+        b = batch if args.video == "strided" else 1
+        fps = bench_video(args.system, T=T, batch=b,
+                          iters=max(2, iters // 3), mode=args.video)
+        print(json.dumps({
+            "metric": f"video_{args.video}_{args.system.lower()}_640x480",
+            "value": round(fps, 1), "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / TARGET_FPS, 3)}))
         return
 
     if args.latency:
