@@ -345,6 +345,14 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     rolled = rolled4[:, :L + 1]
     rows2 = jnp.concatenate([rolled[:, :L],
                              rolled[:, 1:, :PAD]], axis=2)  # (B, L, H+PAD)
+    # Layout pins (utils/layouts.py, opt-in): the hsync scan's while-loop
+    # wants rows2 L-major ({HP, B, L} minor-to-major) while the concat
+    # producer emits row-major — XLA bridges with two full relayout copies
+    # (~1.24 ms/step on PV1K).  "rows2" pins the scan's layout at the
+    # producer; "rows2b" the burst-select's B-minor alternative.
+    from ntsc_crt_tpu.utils import layouts as _lay
+    rows2 = _lay.pin(rows2, "rows2", (1, 0, 2))
+    rows2 = _lay.pin(rows2, "rows2b", (1, 2, 0))
 
     # The in-register Pallas chase executes in ~0.22 ms (vs ~1.75 ms for the
     # XLA scan) but needs the rows in a (line, sample, batch) layout, and at
@@ -933,10 +941,20 @@ def demodulate_core(
         # concat nor any XLA-side coarse pre-shift ever hits HBM
         extA = spatial.shard_lines(rolled[:, :L], 1, tag="rows_ext")
         extB = spatial.shard_lines(rolled[:, 1:], 1, tag="rows_ext_hi")
+        # "extflat" pin: decode_fused consumes the planes sample-major
+        # (rowsT tiling); pinning the flat (R, H) form column-major lets the
+        # plane-split fusion write the kernel's orientation directly instead
+        # of a row-major materialization + a second transpose copy
+        # (~0.97 ms/step on PV1K — docs/PERF.md "pair transposes").
+        from ntsc_crt_tpu.utils import layouts as _lay
+        extAf = _lay.pin(extA.astype(jnp.int8).reshape(B * L, H),
+                         "extflat", (1, 0))
+        extBf = _lay.pin(extB.astype(jnp.int8).reshape(B * L, H),
+                         "extflat", (1, 0))
         r8, g8, b8 = spatial.shard_rows_call(
             _fused_call,
-            extA.astype(jnp.int8).reshape(B * L, H),
-            extB.astype(jnp.int8).reshape(B * L, H),
+            extAf,
+            extBf,
             sh_rows.reshape(B * L),
             wvI_l.reshape(B * L, CC), wvQ_l.reshape(B * L, CC),
             brr.reshape(B * L), ctr.reshape(B * L), *extra)

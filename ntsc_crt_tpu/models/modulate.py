@@ -29,6 +29,7 @@ at runtime); everything else may be traced per frame.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -181,10 +182,42 @@ def _resample_planes(cfg: SystemConfig, img_u8, sy, destw):
     oh = jnp.asarray(onehot, dt)
     rows = fastpath.select_rows_batched(img_u8, sy)       # (B, desth, w, 3)
     rows = rows.astype(jnp.uint8)
+    # "plane"/"planeT" pins (utils/layouts.py): the resample convolution
+    # emits batch-minor {0,2,1} planes, then XLA copies them row-major for
+    # the flat reshape AND transposes them again into encode_fused's
+    # sample-major tiling (~1.7 ms/step of copies on PV1K).  "plane" pins
+    # row-major at the producer; "planeT" pins sample-major end to end.
+    from ntsc_crt_tpu.utils import layouts as _lay
     return tuple(
-        jnp.einsum("bhw,wd->bhd", rows[..., c].astype(dt), oh,
-                   preferred_element_type=jnp.float32).astype(jnp.uint8)
+        _lay.pin(_lay.pin(
+            jnp.einsum("bhw,wd->bhd", rows[..., c].astype(dt), oh,
+                       preferred_element_type=jnp.float32).astype(jnp.uint8),
+            "plane", (0, 1, 2)), "planeT", (2, 0, 1))
         for c in range(3))
+
+
+def _planes_for_kernel(cfg, img_u8, sy, destw, tag=None):
+    """Inputs for the fused encode kernel: (r/g/b planes, col_map).
+
+    Default: the NARROW row-resampled (B, desth, w) planes plus the static
+    nearest-neighbor column map (crt_ntsc.c:296-305 `x*w/destw`), resolved
+    inside the kernel as static-index VMEM reads (encode_fused col_map) —
+    the wide one-hot resample matmuls, their (B, desth, destw) outputs
+    (90 MB/plane at PV1K batch 256) and every relayout copy between them
+    and the kernel never materialize (~3.5 ms/step on PV1K, docs/PERF.md
+    r5).  NTSC_CRT_ENC_RESAMPLE=0 restores the wide-plane matmul path for
+    A/B."""
+    if os.environ.get("NTSC_CRT_ENC_RESAMPLE", "") == "0":
+        planes, cmap = _resample_planes(cfg, img_u8, sy, destw), None
+    else:
+        w = img_u8.shape[2]
+        cmap = tuple(int(v) for v in
+                     (np.arange(destw, dtype=np.int64) * w) // destw)
+        rows = fastpath.select_rows_batched(img_u8, sy).astype(jnp.uint8)
+        planes = tuple(rows[..., c] for c in range(3))
+    if tag is not None:
+        planes = tuple(spatial.shard_lines(p, 1, tag=tag) for p in planes)
+    return planes, cmap
 
 
 def _rgb_to_yiq(pix):
@@ -209,16 +242,19 @@ def _bandlimit(cfg: SystemConfig, fy, fi, fq):
 
 
 def _encode_active_fused(cfg, planes, modI_rows, modQ_rows, gain, base,
-                         xo: int):
+                         xo: int, col_map=None):
     """Fused RGB->YIQ + IIR + carrier + IRE kernel dispatch
-    (ops/pallas/encode_fused.py).  planes: 3-tuple of (B, desth, destw)
-    uint8 R/G/B planes from _resample_planes (fed to the kernel so the s32
-    YIQ and s16 convert intermediates never touch HBM); modI/Q_rows: int32
+    (ops/pallas/encode_fused.py).  planes: 3-tuple of uint8 R/G/B planes —
+    either (B, desth, destw) from _resample_planes, or the narrow
+    (B, desth, w) source rows with `col_map` carrying the static column
+    resample (see _planes_for_kernel); fed to the kernel so the s32 YIQ and
+    s16 convert intermediates never touch HBM.  modI/Q_rows: int32
     (B, desth, cc) per-row carrier tables (phase sign premultiplied, cc = 4
     or 5); gain/base: int32 (B,).  Returns int8 (B, desth, destw)."""
     from ntsc_crt_tpu.ops.pallas import encode_fused as _ef
     r8, g8, b8 = planes
-    B, desth, destw = r8.shape
+    B, desth, w_in = r8.shape
+    destw = w_in if col_map is None else len(col_map)
     cc = modI_rows.shape[-1]
     if cfg.do_bandlimiting:
         coefs = (filters.init_iir(cfg.l_freq, cfg.y_freq),
@@ -232,8 +268,8 @@ def _encode_active_fused(cfg, planes, modI_rows, modQ_rows, gain, base,
     out = spatial.shard_rows_call(
         lambda r_, g8_, b8_, mi_, mq_, g_, b_: _ef.encode_fused_rows(
             r_, g8_, b8_, mi_, mq_, g_, b_, coefs=coefs, xo_mod=xo_mod,
-            rgb=True, interpret=interp),
-        r8.reshape(R, destw), g8.reshape(R, destw), b8.reshape(R, destw),
+            rgb=True, interpret=interp, col_map=col_map),
+        r8.reshape(R, w_in), g8.reshape(R, w_in), b8.reshape(R, w_in),
         modI_rows.reshape(R, cc), modQ_rows.reshape(R, cc),
         jnp.broadcast_to(gain[:, None], (B, desth)).reshape(R),
         jnp.broadcast_to(base[:, None], (B, desth)).reshape(R))
@@ -367,14 +403,14 @@ def modulate_rgb(
     gain = cdiv(cfg.white_level * white_point, 100)
     base = cfg.black_level + black_point
     if filters._use_pallas():
-        planes = tuple(spatial.shard_lines(p, 1, tag="enc_rgb")
-                       for p in _resample_planes(cfg, img_u8, sy, destw))
+        planes, cmap = _planes_for_kernel(cfg, img_u8, sy, destw,
+                                          tag="enc_rgb")
         mi_rows = jnp.broadcast_to((ccmodI * ph[:, None])[:, None, :],
                                    (B, desth, CC))
         mq_rows = jnp.broadcast_to((ccmodQ * ph[:, None])[:, None, :],
                                    (B, desth, CC))
         ire = _encode_active_fused(cfg, planes, mi_rows, mq_rows,
-                                   gain, base, xo)
+                                   gain, base, xo, col_map=cmap)
     else:
         pix = _resample(cfg, img_u8, sy, destw)
         fy, fi, fq = _rgb_to_yiq(pix)
@@ -528,8 +564,8 @@ def modulate_vper(
     sy = jnp.minimum((y_idx * h) // desth + field_offset, h - 1)
 
     if filters._use_pallas():
-        planes = tuple(spatial.shard_lines(p, 1, tag="enc_rgb")
-                       for p in _resample_planes(cfg, img_u8, sy, destw))
+        planes, cmap = _planes_for_kernel(cfg, img_u8, sy, destw,
+                                          tag="enc_rgb")
         # per-row carrier tables selected by the line's vertical phase class
         phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
         mi_rows = jnp.take(ccmodI, phr, axis=1)          # (B, desth, CC)
@@ -537,7 +573,7 @@ def modulate_vper(
         gain = cdiv(cfg.white_level * white_point, 100)
         base = cfg.black_level + black_point
         ire = _encode_active_fused(cfg, planes, mi_rows, mq_rows,
-                                   gain, base, xo)
+                                   gain, base, xo, col_map=cmap)
         analog = _store_active(analog, ire, xo, yo)
         return analog, ccf
 
@@ -631,14 +667,14 @@ def modulate_nesrgb(
     sy = jnp.broadcast_to(sy, (B, desth))
 
     if filters._use_pallas() and CC == 4:
-        planes = _resample_planes(cfg, img_u8, sy, destw)
+        planes, cmap = _planes_for_kernel(cfg, img_u8, sy, destw)
         phr = jnp.asarray((np.arange(desth, dtype=np.int64) + yo) % VP)
         mi_rows = jnp.take(ccmodI, phr, axis=1)
         mq_rows = jnp.take(ccmodQ, phr, axis=1)
         gain = cdiv(cfg.white_level * white_point, 100)
         base = cfg.black_level + black_point
         ire = _encode_active_fused(cfg, planes, mi_rows, mq_rows,
-                                   gain, base, xo)
+                                   gain, base, xo, col_map=cmap)
         analog = _store_active(analog, ire, xo, yo)
         return analog, ccf
 

@@ -33,7 +33,7 @@ def _chunk(cc: int) -> int:
     return 32 if cc == 4 else 40
 
 
-def _make_kernel(T, coefs, xo_mod, cc, rgb):
+def _make_kernel(T, coefs, xo_mod, cc, rgb, col_map=None):
     K = _chunk(cc)
     def kernel(fy_ref, fi_ref, fq_ref, mi_ref, mq_ref, gain_ref, base_ref,
                out_ref):
@@ -41,43 +41,77 @@ def _make_kernel(T, coefs, xo_mod, cc, rgb):
         base = base_ref[0]
         zero = jnp.zeros_like(gain)
 
-        def chunk(tb, carry):
+        def to_yiq(rA, gA, bA):
+            if rgb:
+                # refs carry the R/G/B u8 planes; RGB->YIQ happens
+                # in-register (crt_ntsc.c:307-310) — skipping the s32 YIQ +
+                # s16 convert HBM intermediates that were the 2nd-largest
+                # kernel in the PV1K step profile
+                sy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
+                si = (39059 * rA - 18022 * gA - 21103 * bA) >> 14
+                sq = (13894 * rA - 34275 * gA + 20382 * bA) >> 14
+                return sy, si, sq
+            return rA, gA, bA
+
+        def sample(t, sy, si, sq, carry):
             hy, hi, hq = carry
+            if coefs is not None:
+                cY, cI, cQ = coefs
+                hy = hy + (((sy - hy) * cY) >> EXP_P)      # crt_ntsc.c:117-126
+                hi = hi + (((si - hi) * cI) >> EXP_P)
+                hq = hq + (((sq - hq) * cQ) >> EXP_P)
+                vy, vi, vq = hy, hi, hq
+            else:
+                vy, vi, vq = sy, si, sq                    # CRT_DO_BANDLIMITING 0
+            ph = (t + xo_mod) % cc                         # static per sample
+            vi = (vi * mi_ref[ph]) >> 4                    # crt_ntsc.c:316-317
+            vq = (vq * mq_ref[ph]) >> 4
+            ire = base + (((vy + vi + vq) * gain) >> 10)
+            return (hy, hi, hq), jnp.clip(ire, 0, 110).astype(jnp.int8)
+
+        if col_map is not None:
+            # In-kernel nearest-neighbor column resample: the reference's
+            # sx = x * w / destw source map (crt_ntsc.c:296-305) is a
+            # trace-time constant, so the refs hold the NARROW (w-wide)
+            # image rows and each destination sample is a static-index VMEM
+            # read — the wide resampled planes (90 MB each at PV1K/256),
+            # the one-hot resample matmuls and every relayout copy between
+            # them and this kernel never exist.  The loop is python-unrolled
+            # (static indices need concrete t); upsampling repeats sources
+            # ~destw/w times, so the load + RGB->YIQ of a repeated source is
+            # computed once and reused.
+            carry = (zero, zero, zero)
+            last_src = None
+            sy = si = sq = None
+            for tb in range(T // K):
+                outs = []
+                for j in range(K):
+                    t = tb * K + j
+                    src = col_map[min(t, len(col_map) - 1)]
+                    if src != last_src:
+                        sy, si, sq = to_yiq(fy_ref[src].astype(jnp.int32),
+                                            fi_ref[src].astype(jnp.int32),
+                                            fq_ref[src].astype(jnp.int32))
+                        last_src = src
+                    carry, o = sample(t, sy, si, sq, carry)
+                    outs.append(o)
+                out_ref[pl.ds(tb * K, K)] = jnp.stack(outs)
+            return
+
+        def chunk(tb, carry):
             ry = fy_ref[pl.ds(tb * K, K)]
             ri = fi_ref[pl.ds(tb * K, K)]
             rq = fq_ref[pl.ds(tb * K, K)]
             outs = []
             for j in range(K):
-                if rgb:
-                    # refs carry the resampled R/G/B u8 planes; RGB->YIQ
-                    # happens in-register (crt_ntsc.c:307-310) — skipping
-                    # the s32 YIQ + s16 convert HBM intermediates that were
-                    # the 2nd-largest kernel in the PV1K step profile
-                    rA = ry[j].astype(jnp.int32)
-                    gA = ri[j].astype(jnp.int32)
-                    bA = rq[j].astype(jnp.int32)
-                    sy = (19595 * rA + 38470 * gA + 7471 * bA) >> 14
-                    si = (39059 * rA - 18022 * gA - 21103 * bA) >> 14
-                    sq = (13894 * rA - 34275 * gA + 20382 * bA) >> 14
-                else:
-                    sy = ry[j].astype(jnp.int32)
-                    si = ri[j].astype(jnp.int32)
-                    sq = rq[j].astype(jnp.int32)
-                if coefs is not None:
-                    cY, cI, cQ = coefs
-                    hy = hy + (((sy - hy) * cY) >> EXP_P)  # crt_ntsc.c:117-126
-                    hi = hi + (((si - hi) * cI) >> EXP_P)
-                    hq = hq + (((sq - hq) * cQ) >> EXP_P)
-                    vy, vi, vq = hy, hi, hq
-                else:
-                    vy, vi, vq = sy, si, sq                # CRT_DO_BANDLIMITING 0
-                ph = (j + xo_mod) % cc                     # static in-chunk
-                vi = (vi * mi_ref[ph]) >> 4                # crt_ntsc.c:316-317
-                vq = (vq * mq_ref[ph]) >> 4
-                ire = base + (((vy + vi + vq) * gain) >> 10)
-                outs.append(jnp.clip(ire, 0, 110).astype(jnp.int8))
+                sy, si, sq = to_yiq(ry[j].astype(jnp.int32),
+                                    ri[j].astype(jnp.int32),
+                                    rq[j].astype(jnp.int32))
+                # in-chunk phase is static: K % cc == 0, so j == t (mod cc)
+                carry, o = sample(j, sy, si, sq, carry)
+                outs.append(o)
             out_ref[pl.ds(tb * K, K)] = jnp.stack(outs)
-            return hy, hi, hq
+            return carry
 
         lax.fori_loop(0, T // K, chunk, (zero, zero, zero))
 
@@ -85,16 +119,23 @@ def _make_kernel(T, coefs, xo_mod, cc, rgb):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("coefs", "xo_mod", "rgb", "interpret"))
+                   static_argnames=("coefs", "xo_mod", "rgb", "interpret",
+                                    "col_map"))
 def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
                       coefs, xo_mod: int, rgb: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, col_map=None):
     """fy/fi/fq: int16 (R, T) YIQ — or, with rgb=True, the uint8 R/G/B
     planes (RGB->YIQ runs in-kernel); modI/modQ: int32 (R, cc) carrier
     tables (premultiplied by any phase sign, cc = 4 or 5 chroma samples);
     gain/base: int32 (R,).  coefs: (cY, cI, cQ) python ints or None.
-    xo_mod: static (xo % cc).  Returns clamped IRE int8 (R, T)."""
-    R, T = fy.shape
+    xo_mod: static (xo % cc).  Returns clamped IRE int8 (R, T).
+
+    col_map (static tuple of ints, optional): in-kernel nearest-neighbor
+    column resample — fy/fi/fq are then the NARROW (R, w) source rows and
+    the output is (R, len(col_map)) with sample t sourced from column
+    col_map[t] (the reference's x*w/destw map, crt_ntsc.c:296-305)."""
+    R, w_in = fy.shape
+    T = w_in if col_map is None else len(col_map)
     cc = modI.shape[-1]
     K = _chunk(cc)
     Tp = -(-T // K) * K
@@ -109,18 +150,24 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
         return xp.T.reshape(n, RB, sub, LANE).swapaxes(0, 1)
 
     in_dt = jnp.uint8 if rgb else jnp.int16
-    fyt = tiles(jnp.pad(jnp.asarray(fy, in_dt), ((0, 0), (0, Tp - T))),
-                Tp, in_dt)
-    fit = tiles(jnp.pad(jnp.asarray(fi, in_dt), ((0, 0), (0, Tp - T))),
-                Tp, in_dt)
-    fqt = tiles(jnp.pad(jnp.asarray(fq, in_dt), ((0, 0), (0, Tp - T))),
-                Tp, in_dt)
+    if col_map is None:
+        W = Tp
+        padw = Tp - T
+    else:
+        W = w_in             # stage the narrow source rows as-is
+        padw = 0
+    fyt = tiles(jnp.pad(jnp.asarray(fy, in_dt), ((0, 0), (0, padw))),
+                W, in_dt)
+    fit = tiles(jnp.pad(jnp.asarray(fi, in_dt), ((0, 0), (0, padw))),
+                W, in_dt)
+    fqt = tiles(jnp.pad(jnp.asarray(fq, in_dt), ((0, 0), (0, padw))),
+                W, in_dt)
     mi = tiles(modI, cc, jnp.int32)
     mq = tiles(modQ, cc, jnp.int32)
     g = tiles(gain, 1, jnp.int32)
     b = tiles(base, 1, jnp.int32)
 
-    kern = _make_kernel(Tp, coefs, xo_mod, cc, rgb)
+    kern = _make_kernel(Tp, coefs, xo_mod, cc, rgb, col_map=col_map)
 
     def body(*refs):
         f1, f2, f3, m1, m2, gg, bb, out = refs
@@ -132,7 +179,7 @@ def encode_fused_rows(fy, fi, fq, modI, modQ, gain, base, *,
     out = pl.pallas_call(
         body,
         grid=(RB,),
-        in_specs=[spec(Tp)] * 3 + [spec(cc)] * 2 + [spec(1)] * 2,
+        in_specs=[spec(W)] * 3 + [spec(cc)] * 2 + [spec(1)] * 2,
         out_specs=spec(Tp),
         out_shape=jax.ShapeDtypeStruct((RB, Tp, sub, LANE), jnp.int8),
         compiler_params=pltpu.CompilerParams(
