@@ -206,8 +206,17 @@ def _planes_for_kernel(cfg, img_u8, sy, destw, tag=None):
     (90 MB/plane at PV1K batch 256) and every relayout copy between them
     and the kernel never materialize (~3.5 ms/step on PV1K, docs/PERF.md
     r5).  NTSC_CRT_ENC_RESAMPLE=0 restores the wide-plane matmul path for
-    A/B."""
-    if os.environ.get("NTSC_CRT_ENC_RESAMPLE", "") == "0":
+    A/B.
+
+    Interpret-mode dispatches (CPU tests) keep the wide-plane path: the
+    col_map kernel python-unrolls all T samples (static VMEM indices), and
+    interpret mode inlines that unroll into the host XLA graph per grid
+    row-block — a compile-time blowup with no coverage benefit (the unroll
+    logic has a direct tiny-geometry test in test_pallas_kernels, and the
+    device parity gate pins the compiled col_map kernel against the
+    portable CPU goldens on the bench chip)."""
+    if (os.environ.get("NTSC_CRT_ENC_RESAMPLE", "") == "0"
+            or filters._pallas_interpret()):
         planes, cmap = _resample_planes(cfg, img_u8, sy, destw), None
     else:
         w = img_u8.shape[2]

@@ -371,3 +371,37 @@ def test_ccf_kernel_matches_scan(rng, VP, CC, m, B, L):
     f_k, r_k = ccf_scan.ccf_ema(per, vper, act, ccf0, interpret=True)
     np.testing.assert_array_equal(np.asarray(f_k), np.asarray(f_ref))
     np.testing.assert_array_equal(np.asarray(r_k), np.asarray(r_ref))
+
+
+@pytest.mark.parametrize("cc", [4, 5])
+@pytest.mark.parametrize("w_in,destw", [(40, 64), (64, 24)])  # up / down
+def test_encode_fused_col_map_matches_wide(rng, cc, w_in, destw):
+    """The in-kernel nearest-neighbor column resample (col_map static VMEM
+    indexing, crt_ntsc.c:296-305) is bit-identical to host-gathering the
+    wide planes and running the kernel without a map.  Tiny geometry: the
+    col_map kernel python-unrolls all T samples, so interpret-mode cost
+    scales with destw (production interpret dispatches keep the wide path —
+    modulate._planes_for_kernel)."""
+    from ntsc_crt_tpu.ops.pallas import encode_fused as ef
+    Rs = 16
+    r8 = jnp.asarray(rng.randint(0, 256, (Rs, w_in), dtype=np.uint8))
+    g8 = jnp.asarray(rng.randint(0, 256, (Rs, w_in), dtype=np.uint8))
+    b8 = jnp.asarray(rng.randint(0, 256, (Rs, w_in), dtype=np.uint8))
+    modI = jnp.asarray(rng.randint(-32, 33, (Rs, cc), dtype=np.int32))
+    modQ = jnp.asarray(rng.randint(-32, 33, (Rs, cc), dtype=np.int32))
+    gain = jnp.full((Rs,), 100, jnp.int32)
+    base = jnp.full((Rs,), 7, jnp.int32)
+    cY = filters.init_iir(cfg.l_freq, cfg.y_freq)
+    cI = filters.init_iir(cfg.l_freq, cfg.i_freq)
+    cQ = filters.init_iir(cfg.l_freq, cfg.q_freq)
+    cmap = tuple(int(v) for v in
+                 (np.arange(destw, dtype=np.int64) * w_in) // destw)
+    got = np.asarray(ef.encode_fused_rows(
+        r8, g8, b8, modI, modQ, gain, base,
+        coefs=(cY, cI, cQ), xo_mod=1, rgb=True, interpret=True,
+        col_map=cmap))
+    wide = [p[:, np.asarray(cmap)] for p in (r8, g8, b8)]
+    want = np.asarray(ef.encode_fused_rows(
+        *wide, modI, modQ, gain, base,
+        coefs=(cY, cI, cQ), xo_mod=1, rgb=True, interpret=True))
+    np.testing.assert_array_equal(got, want)
