@@ -368,9 +368,18 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
     _hsk_edt = os.environ.get("NTSC_CRT_HSYNC_EINSUM", "")
     _hsk_edt = {"1": "i8"}.get(_hsk_edt, _hsk_edt)
     _hsk_einsum = _hsk_edt in ("i8", "bf16", "i32")
+    # direct-transpose prep (r5): at big batch the burst extraction already
+    # forces a batch-minor ({0,2,1}) materialization of rows2, so the
+    # (L, HP, B) view the sample-granularity chase kernel wants is a free
+    # layout bitcast — the 240-line XLA scan (~1.75 ms/step) and its
+    # {3,2,0,1} relayout copy (~0.6 ms/step) collapse into the ~0.2 ms
+    # chase.  NTSC_CRT_HSYNC_DIRECT=0 restores the XLA scan for A/B.
+    _hsk_direct = (B >= _BIG_BATCH and not _hsk_einsum
+                   and _hsk_env != "0"
+                   and os.environ.get("NTSC_CRT_HSYNC_DIRECT", "") != "0")
     _use_hsk = (do_hsync and _HSYNC_SCAN and filters._use_pallas()
                 and not spatial.active()
-                and (_hsk_env == "1" or _hsk_einsum
+                and (_hsk_env == "1" or _hsk_einsum or _hsk_direct
                      or (_hsk_env != "0" and B < _BIG_BATCH)))
     if _use_hsk:
         # --- in-register hsync chase (ops/pallas/hsync_scan.py) ------------
@@ -389,7 +398,8 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
             rows2, active_l, i32(hsync0), W=W, c0=c0, thresh=thresh,
             H=H, interpret=filters._pallas_interpret(),
             einsum_prep=_hsk_einsum and B >= _BIG_BATCH,
-            prep_dtype=_hsk_edt if _hsk_einsum else "i8")
+            prep_dtype=_hsk_edt if _hsk_einsum else "i8",
+            direct_t=_hsk_direct)
         hsync_l = lax.optimization_barrier(hseq_bl)       # (B, L)
         hsync_f = hsync_l[:, L - 1]
     elif do_hsync and _HSYNC_SCAN:
@@ -487,8 +497,12 @@ def _line_scan(cfg: SystemConfig, inp2d, hsync0, ccf0, vsync, hue_sn, hue_cs,
             return hsync, hsync
 
         def _serial_chain():
+            # unroll trades while-loop trip count against body size for the
+            # 240-line dispatch-bound chain; 8 measured best (r5 sweep
+            # 8/16/32 — larger bodies stopped paying at 16)
+            _unr = int(os.environ.get("NTSC_CRT_SCAN_UNROLL", "8"))
             _, hseq = lax.scan(hstep, i32(hsync0),
-                               jnp.arange(L, dtype=jnp.int32), unroll=8)
+                               jnp.arange(L, dtype=jnp.int32), unroll=_unr)
             return jnp.swapaxes(hseq, 0, 1)                # (B, L)
 
         # --- Jacobi/fixpoint sweep (big-batch steady state) ----------------

@@ -208,10 +208,10 @@ def _make_kernel_b(L, HP, W, c0, thresh, H, bits):
 
 @functools.partial(jax.jit,
                    static_argnames=("W", "c0", "thresh", "H", "interpret",
-                                    "einsum_prep", "prep_dtype"))
+                                    "einsum_prep", "prep_dtype", "direct_t"))
 def hsync_chase(rows2, active_l, hsync0, *, W: int, c0: int, thresh: int,
                 H: int, interpret: bool = False, einsum_prep: bool = False,
-                prep_dtype: str = "i8"):
+                prep_dtype: str = "i8", direct_t: bool = False):
     """rows2: int8 (B, L, HP) padded per-line rows (the same layout the XLA
     scan reads; HP covers base + 2W for every legal hsync by the caller's
     PAD contract).  active_l: bool (B, L); hsync0: int32 (B,).
@@ -227,19 +227,39 @@ def hsync_chase(rows2, active_l, hsync0, *, W: int, c0: int, thresh: int,
     relayouts — the r4 negative result), "bf16" converts to bfloat16
     ((16,128) tiles, cheaper convert; exact for +-127 row values), "i32"
     hands the MXU output straight to the kernel (no convert at all, 4x
-    VMEM)."""
+    VMEM).
+
+    direct_t=True (big batch, B % 128 == 0, the r5 default): a plain
+    jnp.transpose(rows2, (1, 2, 0)) feeds the SAME sample-granularity s8
+    kernel.  The step already materializes rows2 batch-minor
+    ({0,2,1} physical layout) for the burst extraction's masked-select
+    stages, so XLA resolves this transpose as a layout bitcast off that
+    shared copy — no MXU pass, no word-pack, no extra relayout (verified
+    in the r5 kernel table: while.7 + the scan's {3,2,0,1} copy are gone)."""
     B, L, HP = rows2.shape
-    if einsum_prep:
+    if einsum_prep or direct_t:
         from ntsc_crt_tpu.ops.pallas.tiling import shrink_sub
         sub = shrink_sub(B, SUB, LANE)
         Bp = sub * LANE
         bits = int(H - 1 + c0).bit_length()
-        eye = jnp.eye(Bp, B, dtype=jnp.int8)
-        rowsT = jnp.einsum("cb,bls->lsc", eye, rows2,
-                           preferred_element_type=jnp.int32)
-        kdt = {"i8": jnp.int8, "bf16": jnp.bfloat16,
-               "i32": jnp.int32}[prep_dtype]
-        rowsT = rowsT.astype(kdt).reshape(L, HP, sub, LANE)
+        if direct_t:
+            kdt = jnp.int8
+            rowsT = jnp.transpose(rows2, (1, 2, 0))     # layout bitcast
+            if B < Bp:
+                # s8 blocks need a multiple-of-4 sublane height (tiling.py),
+                # so e.g. B=256 pads to 512 lanes.  The pad reads the
+                # batch-minor copy in memory order (B is minor on both
+                # sides) — a cheap streaming pass, NOT a relayout.
+                rowsT = jnp.zeros((L, HP, Bp), jnp.int8).at[..., :B].set(
+                    rowsT)
+            rowsT = rowsT.reshape(L, HP, sub, LANE)
+        else:
+            eye = jnp.eye(Bp, B, dtype=jnp.int8)
+            rowsT = jnp.einsum("cb,bls->lsc", eye, rows2,
+                               preferred_element_type=jnp.int32)
+            kdt = {"i8": jnp.int8, "bf16": jnp.bfloat16,
+                   "i32": jnp.int32}[prep_dtype]
+            rowsT = rowsT.astype(kdt).reshape(L, HP, sub, LANE)
         actP = jnp.zeros((Bp, L), jnp.int32).at[:B].set(
             active_l.astype(jnp.int32))
         actT = actP.T.reshape(L, 1, sub, LANE)

@@ -405,3 +405,20 @@ def test_encode_fused_col_map_matches_wide(rng, cc, w_in, destw):
         *wide, modI, modQ, gain, base,
         coefs=(cY, cI, cQ), xo_mod=1, rgb=True, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("B", [9, 128, 256])
+def test_hsync_chase_direct_prep_matches_wordpack(rng, B):
+    """direct_t=True (the big-batch default: plain transpose off the
+    batch-minor rows2 copy + s8 sample-granularity kernel) is bit-identical
+    to the word-packed prep across batch paddings (B=9 pads lanes, 128 pads
+    sublanes to the s8 multiple-of-4 tile, 256 pads 2->4 sublanes)."""
+    from ntsc_crt_tpu.ops.pallas import hsync_scan as hsk
+    L, H, HP = 21, 300, 512
+    rows2 = jnp.asarray(rng.randint(-127, 128, (B, L, HP), dtype=np.int8))
+    act = jnp.asarray(rng.rand(B, L) > 0.2)
+    h0 = jnp.asarray(rng.randint(0, H, B).astype(np.int32))
+    kw = dict(W=8, c0=20, thresh=-100, H=H, interpret=True)
+    a = np.asarray(hsk.hsync_chase(rows2, act, h0, **kw))
+    b = np.asarray(hsk.hsync_chase(rows2, act, h0, direct_t=True, **kw))
+    np.testing.assert_array_equal(a, b)
