@@ -13,7 +13,12 @@ Extended modes:
                                           (modulate / demodulate / fused step)
     python bench.py --kernels [--system S] on-device per-kernel time table
                                           (jax.profiler trace aggregation)
-Env: BENCH_BATCH (default 256), BENCH_ITERS (default 10).
+Env: BENCH_BATCH (default 512), BENCH_ITERS (default 10).
+Batch 512 is the measured-best throughput configuration (r5): the s8
+(sub, lane) tiling of the direct-transpose hsync-chase prep is pad-free
+at multiples of 512 rows — PV1K +7% over batch 256, every other system
+>= its batch-256 number.  The video-pipeline lines keep batch 256 so the
+T=1024-frame streams stay >= 4 frames deep per slot.
 """
 
 import argparse
@@ -286,7 +291,7 @@ def main():
                           "vs_baseline": 1.0}))
         return
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
 
     if args.stages:
@@ -338,8 +343,9 @@ def main():
             results.append(rec)
         # the reference's actual throughput workload: the video pipeline
         # (extra/video_convert.c:246-277) in both execution modes
-        vids = [("video_strided_ntsc", "NTSC", "strided", 1024, batch),
-                ("video_strided_ntscvhs", "NTSCVHS", "strided", 1024, batch),
+        vb = min(batch, 256)
+        vids = [("video_strided_ntsc", "NTSC", "strided", 1024, vb),
+                ("video_strided_ntscvhs", "NTSCVHS", "strided", 1024, vb),
                 ("video_exact_ntsc", "NTSC", "exact", 64, 1),
                 ("video_exact_ntscvhs", "NTSCVHS", "exact", 64, 1)]
         for name, s, mode, T, b in vids:
@@ -362,7 +368,7 @@ def main():
 
     if args.video:
         T = 1024 if args.video == "strided" else 64
-        b = batch if args.video == "strided" else 1
+        b = min(batch, 256) if args.video == "strided" else 1
         fps = bench_video(args.system, T=T, batch=b,
                           iters=max(2, iters // 3), mode=args.video)
         print(json.dumps({
