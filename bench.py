@@ -97,14 +97,19 @@ def bench_video(system: str, T: int, batch: int, iters: int,
     frames = jnp.asarray(_inputs(system, cfg, T))
     checksum = lambda s: int(np.asarray(s.hsync).sum())
 
+    # per-frame checksum fold INSIDE the scan body: the driver would stream
+    # each frame to disk, so the bench must not stack T full frames in HBM
+    # (T=1024 at 640x480 RGB is ~0.9 GB — enough to wedge the tunneled
+    # allocator; the r5 --all run died exactly here)
+    fold = lambda out: out.astype(jnp.uint32).sum()
+
     if mode == "strided":
         states = pmesh.init_batch(cfg, batch, outw, outh)
 
         def fn(states, frames):
-            st, outs = video.video_strided(cfg, states, frames, noise=12)
-            # fold the outputs so steady-state iterations don't hold T full
-            # frames live (the driver would stream them to disk)
-            return st, outs.astype(jnp.uint32).sum()
+            st, outs = video.video_strided(cfg, states, frames, noise=12,
+                                           out_transform=fold)
+            return st, outs.sum()
 
         run = jax.jit(fn, donate_argnums=(0,))
         states, _ = run(states, frames)
@@ -118,8 +123,9 @@ def bench_video(system: str, T: int, batch: int, iters: int,
     state = pipeline.crt_init(cfg, outw, outh)
 
     def fn(state, frames):
-        st, outs = video.video_exact(cfg, state, frames, noise=12)
-        return st, outs.astype(jnp.uint32).sum()
+        st, outs = video.video_exact(cfg, state, frames, noise=12,
+                                     out_transform=fold)
+        return st, outs.sum()
 
     run = jax.jit(fn, donate_argnums=(0,))
     state, _ = run(state, frames)
@@ -327,20 +333,23 @@ def main():
         results = [{"metric": "tpu_parity", "value": check_device_parity(),
                     "unit": "bitexact_vs_cpu_goldens", "vs_baseline": 1.0}]
         print(json.dumps(results[0]), flush=True)
+
+        def save(rec):  # incremental: a crash keeps the lines already run
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+            with open("BENCH_FULL.json", "w") as f:
+                json.dump(results, f, indent=1)
+
         for s in systems:
             fps = bench_system(s, batch, iters)
-            rec = {"metric": f"{s.lower()}_encode_decode_640x480",
-                   "value": round(fps, 1), "unit": "frames/sec/chip",
-                   "vs_baseline": round(fps / TARGET_FPS, 3)}
-            print(json.dumps(rec), flush=True)
-            results.append(rec)
+            save({"metric": f"{s.lower()}_encode_decode_640x480",
+                  "value": round(fps, 1), "unit": "frames/sec/chip",
+                  "vs_baseline": round(fps / TARGET_FPS, 3)})
         for name, s, kw in modes:
             fps = bench_system(s, batch, iters, **kw)
-            rec = {"metric": f"{name}_encode_decode_640x480",
-                   "value": round(fps, 1), "unit": "frames/sec/chip",
-                   "vs_baseline": round(fps / TARGET_FPS, 3)}
-            print(json.dumps(rec), flush=True)
-            results.append(rec)
+            save({"metric": f"{name}_encode_decode_640x480",
+                  "value": round(fps, 1), "unit": "frames/sec/chip",
+                  "vs_baseline": round(fps / TARGET_FPS, 3)})
         # the reference's actual throughput workload: the video pipeline
         # (extra/video_convert.c:246-277) in both execution modes
         vb = min(batch, 256)
@@ -351,19 +360,13 @@ def main():
         for name, s, mode, T, b in vids:
             fps = bench_video(s, T=T, batch=b, iters=max(2, iters // 3),
                               mode=mode)
-            rec = {"metric": f"{name}_640x480",
-                   "value": round(fps, 1), "unit": "frames/sec/chip",
-                   "vs_baseline": round(fps / TARGET_FPS, 3)}
-            print(json.dumps(rec), flush=True)
-            results.append(rec)
+            save({"metric": f"{name}_640x480",
+                  "value": round(fps, 1), "unit": "frames/sec/chip",
+                  "vs_baseline": round(fps / TARGET_FPS, 3)})
         lat = bench_latency()
-        rec = {"metric": "ntsc_batch1_latency_832x624",
-               "value": round(lat, 3), "unit": "ms/frame",
-               "vs_baseline": round(TARGET_LAT_MS / lat, 3)}
-        print(json.dumps(rec), flush=True)
-        results.append(rec)
-        with open("BENCH_FULL.json", "w") as f:
-            json.dump(results, f, indent=1)
+        save({"metric": "ntsc_batch1_latency_832x624",
+              "value": round(lat, 3), "unit": "ms/frame",
+              "vs_baseline": round(TARGET_LAT_MS / lat, 3)})
         return
 
     if args.video:

@@ -33,18 +33,40 @@ from pathlib import Path
 import numpy as np
 
 
+_STEP_CACHE = {}
+
+
 def _build_step(cfg, outw, outh, noise, mon, *, as_color=1, raw=False,
                 v_fac=0, **mode_kw):
+    """Jitted CLI step.  noise / mon / as_color are TRACED (closed over as
+    arrays, not baked Python constants) and the wrapper is cached per
+    (cfg, static build modes), so repeated in-process `cli.main` calls —
+    embedder loops, the test tier — reuse one compiled executable per
+    geometry instead of recompiling (jax.jit keys the state/image shapes)."""
     import jax
+    import jax.numpy as jnp
     from ntsc_crt_tpu.models import pipeline
 
-    def fn(state, img, field, frame, dco, hue):
-        return pipeline.step(cfg, state, img, field=field, frame=frame,
-                             hue=hue, noise=noise, mon=mon, as_color=as_color,
-                             raw=raw, dot_crawl_offset=dco, v_fac=v_fac,
-                             **mode_kw)
+    key = (cfg, raw, v_fac, tuple(sorted(mode_kw.items())))
+    if key not in _STEP_CACHE:
+        def fn(state, img, field, frame, dco, hue, noise, mon, as_color,
+               do_ab):
+            return pipeline.step(cfg, state, img, field=field, frame=frame,
+                                 hue=hue, noise=noise, mon=mon,
+                                 as_color=as_color, raw=raw,
+                                 dot_crawl_offset=dco, do_aberration=do_ab,
+                                 v_fac=v_fac, **mode_kw)
+        _STEP_CACHE[key] = jax.jit(fn)
+    jfn = _STEP_CACHE[key]
+    noise = jnp.int32(noise)
+    as_color = jnp.int32(as_color)
 
-    return jax.jit(fn)
+    def call(state, img, field, frame, dco, hue=np.int32(0),
+             do_ab=np.int32(0)):
+        return jfn(state, img, field, frame, dco, hue, noise, mon, as_color,
+                   do_ab)
+
+    return call
 
 
 def main(argv=None):
@@ -190,17 +212,13 @@ def video_main(argv=None):
                         saturation=np.int32(10))
     state = pipeline.crt_init(cfg, args.outw, args.outh)
 
-    import jax
+    _step = _build_step(cfg, args.outw, args.outh, np.int32(args.noise),
+                        mon, v_fac=args.vfac, do_bloom=args.bloom,
+                        eq_mode=args.eq)
+    do_ab = np.int32(1 if args.aberration else 0)
 
     def stepfn(state, img, field, frame, dco):
-        return pipeline.step(cfg, state, img, field=field, frame=frame,
-                             noise=np.int32(args.noise), mon=mon,
-                             dot_crawl_offset=dco,
-                             do_aberration=np.int32(1 if args.aberration else 0),
-                             v_fac=args.vfac, do_bloom=args.bloom,
-                             eq_mode=args.eq)
-
-    stepfn = jax.jit(stepfn)
+        return _step(state, img, field, frame, dco, do_ab=do_ab)
 
     Path(args.outdir).mkdir(exist_ok=True)
 

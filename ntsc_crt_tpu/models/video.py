@@ -50,13 +50,20 @@ def _parities(n_frames: int, progressive: bool):
 def video_exact(cfg: SystemConfig, state: pipeline.CRTState,
                 frames: jax.Array, *, noise=0,
                 mon: Optional[MonitorParams] = None,
-                progressive: bool = False, hue=0, **step_kw):
+                progressive: bool = False, hue=0, out_transform=None,
+                **step_kw):
     """Sequential scan over T frames; state flows exactly like the C driver.
     frames: uint8 (T, h, w, 3) (or (T, h, w) uint16 for NES).
     Extra keyword args (do_bloom, eq_mode, do_vsync/do_hsync,
     draw_border/border_color, do_aberration, v_fac, ...) forward to
     pipeline.step, so every build-variant mode is reachable from the video
-    surface.  Returns (state', outs uint8 (T, outh, outw, 3))."""
+    surface.  Returns (state', outs uint8 (T, outh, outw, 3)).
+
+    ``out_transform`` (optional) maps each frame's decoded image INSIDE the
+    scan body before stacking — streaming consumers (checksums, per-frame
+    downsampling/metrics) avoid materializing all T full frames in HBM,
+    which matters at T in the hundreds (a 1024-frame 640x480 RGB stack is
+    ~0.9 GB)."""
     mon = mon or MonitorParams()
     T = frames.shape[0]
     fseq, frseq = _parities(T, progressive or cfg.progressive)
@@ -69,7 +76,8 @@ def video_exact(cfg: SystemConfig, state: pipeline.CRTState,
         st = pipeline.step(cfg, st, img, field=fi, frame=fr, hue=hue,
                            noise=noise, mon=mon, dot_crawl_offset=dc,
                            **step_kw)
-        return st, st.out
+        return st, (st.out if out_transform is None
+                    else out_transform(st.out))
 
     return lax.scan(body, state, (frames, fseq, frseq, dcos))
 
@@ -77,12 +85,15 @@ def video_exact(cfg: SystemConfig, state: pipeline.CRTState,
 def video_strided(cfg: SystemConfig, states: pipeline.CRTState,
                   frames: jax.Array, *, noise=0,
                   mon: Optional[MonitorParams] = None,
-                  progressive: bool = False, hue=0, **step_kw):
+                  progressive: bool = False, hue=0, out_transform=None,
+                  **step_kw):
     """Throughput mode: frames (T, ...) with T = B * k are processed as B
     interleaved strides (slot b handles frames b, b+B, b+2B, ...), each
     stride carrying its own CRTState.  states: batched CRTState (B slots).
     Extra keyword args forward to pipeline.step (see video_exact).
-    Returns (states', outs (T, outh, outw, 3)) in original frame order."""
+    Returns (states', outs (T, outh, outw, 3)) in original frame order.
+    ``out_transform`` folds each chunk's frames inside the scan body (see
+    video_exact) — with it, outs is (k, ...transformed...) instead."""
     mon = mon or MonitorParams()
     B = states.analog.shape[0]
     T = frames.shape[0]
@@ -104,9 +115,12 @@ def video_strided(cfg: SystemConfig, states: pipeline.CRTState,
                            hue=hue, noise=noise, mon=mon,
                            dot_crawl_offset=jnp.broadcast_to(dc, (B,)),
                            **step_kw)
-        return st, st.out
+        return st, (st.out if out_transform is None
+                    else out_transform(st.out))
 
     states, outs = lax.scan(body, states, (chunked, fseq, frseq, dcos))
+    if out_transform is not None:
+        return states, outs
     return states, outs.reshape(T, *outs.shape[2:])
 
 
