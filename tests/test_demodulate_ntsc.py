@@ -4,13 +4,13 @@ single frame, the CLI's 4-frame interlace+blend accumulation loop
 
 import numpy as np
 import pytest
-import jax
 import jax.numpy as jnp
 
 from ntsc_crt_tpu.models.systems import NTSC
 from ntsc_crt_tpu.models import pipeline
 from ntsc_crt_tpu.models.demodulate import MonitorParams
 from oracle import Oracle
+from helpers import run_step
 
 
 def _img(seed, w=320, h=240):
@@ -24,15 +24,14 @@ def _oracle_state(orc):
 
 
 def test_single_frame_noise0():
+    """Flagship full-geometry (640x480) parity case."""
     orc = Oracle("NTSC", outw=640, outh=480)
     img = _img(1)
     orc.modulate(img, field=0, frame=0)
     ref = orc.demodulate(noise=0)
 
     st = pipeline.crt_init(NTSC, 640, 480)
-    fn = jax.jit(lambda s, im: pipeline.step(NTSC, s, im, field=0, frame=0,
-                                             noise=0))
-    st = fn(st, jnp.asarray(img))
+    st = run_step(NTSC, st, img)
     got = np.asarray(st.out)
     np.testing.assert_array_equal(got, ref, err_msg=str(_oracle_state(orc)))
     assert int(st.hsync) == orc.crt.hsync
@@ -52,15 +51,13 @@ def test_cli_accumulation_loop(noise):
 
     st = pipeline.crt_init(NTSC, 640, 480)
     mon = MonitorParams(blend=jnp.int32(1), scanlines=jnp.int32(1))
-    fn = jax.jit(lambda s, im, fi, fr, nz: pipeline.step(
-        NTSC, s, im, field=fi, frame=fr, noise=nz, mon=mon))
 
     field, frame = 0, 0
     for n in range(4):
         orc.modulate(img, field=field, frame=frame)
         ref = orc.demodulate(noise=noise)
-        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame),
-                jnp.int32(noise))
+        st = run_step(NTSC, st, img, field=field, frame=frame, noise=noise,
+                      mon=mon)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"frame {n} {_oracle_state(orc)}")
         field ^= 1
@@ -84,14 +81,12 @@ def test_interlace_at_other_repeat_ratios(outh, scanlines):
 
     st = pipeline.crt_init(NTSC, 640, outh)
     mon = MonitorParams(scanlines=jnp.int32(scanlines))
-    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
-        NTSC, s, im, field=fi, frame=fr, noise=0, mon=mon))
 
     field, frame = 0, 0
     for n in range(4):
         orc.modulate(img, field=field, frame=frame)
         ref = orc.demodulate(noise=0)
-        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        st = run_step(NTSC, st, img, field=field, frame=frame, mon=mon)
         np.testing.assert_array_equal(
             np.asarray(st.out), ref,
             err_msg=f"frame {n} field {field} {_oracle_state(orc)}")
@@ -101,7 +96,7 @@ def test_interlace_at_other_repeat_ratios(outh, scanlines):
 
 
 def test_monitor_knobs():
-    orc = Oracle("NTSC", outw=400, outh=300)
+    orc = Oracle("NTSC", outw=320, outh=240)
     orc.crt.hue = 33
     orc.crt.brightness = 10
     orc.crt.contrast = 210
@@ -112,12 +107,11 @@ def test_monitor_knobs():
     orc.modulate(img, field=0, frame=0)
     ref = orc.demodulate(noise=5)
 
-    st = pipeline.crt_init(NTSC, 400, 300)
+    st = pipeline.crt_init(NTSC, 320, 240)
     mon = MonitorParams(hue=jnp.int32(33), brightness=jnp.int32(10),
                         contrast=jnp.int32(210), saturation=jnp.int32(18),
                         black_point=jnp.int32(4), white_point=jnp.int32(110))
-    st = jax.jit(lambda s, im: pipeline.step(NTSC, s, im, field=0, frame=0,
-                                             noise=5, mon=mon))(st, jnp.asarray(img))
+    st = run_step(NTSC, st, img, noise=5, mon=mon)
     np.testing.assert_array_equal(np.asarray(st.out), ref)
 
 
@@ -139,14 +133,13 @@ def test_v_fac_vertical_stretch(v_fac, blend, scanlines):
     st = pipeline.crt_init(NTSC, outw, outh)
     mon = MonitorParams(blend=jnp.int32(blend),
                         scanlines=jnp.int32(scanlines))
-    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
-        NTSC, s, im, field=fi, frame=fr, noise=0, mon=mon, v_fac=v_fac))
 
     field, frame = 0, 0
     for n in range(4):
         orc.modulate(img, field=field, frame=frame)
         ref = orc.demodulate(noise=0)
-        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        st = run_step(NTSC, st, img, field=field, frame=frame, mon=mon,
+                      v_fac=v_fac)
         np.testing.assert_array_equal(
             np.asarray(st.out), ref,
             err_msg=f"v_fac={v_fac} frame {n} {_oracle_state(orc)}")

@@ -10,6 +10,7 @@ from ntsc_crt_tpu.models import pipeline
 from ntsc_crt_tpu.models.demodulate import MonitorParams
 from oracle import Oracle
 from oracle.parity import assert_parity_outside_ub
+from helpers import run_step, run_modulate, run_demodulate
 
 
 def _img(seed, w, h):
@@ -24,8 +25,7 @@ def test_raw_mode_parity():
     orc.modulate(img, field=0, frame=0, raw=1)
     ref = orc.demodulate(noise=0)
     st = pipeline.crt_init(NTSC, 640, 480)
-    st = pipeline.step(NTSC, st, jnp.asarray(img), field=0, frame=0,
-                       noise=0, raw=True)
+    st = run_step(NTSC, st, img, raw=True)
     np.testing.assert_array_equal(np.asarray(st.out), ref)
 
 
@@ -36,10 +36,9 @@ def test_offsets_parity():
     orc.modulate(img, field=0, frame=0, xoffset=24, yoffset=5)
     ref = orc.demodulate(noise=0)
     st = pipeline.crt_init(NTSC, 320, 240)
-    st = pipeline.modulate(NTSC, st, jnp.asarray(img), field=0, frame=0,
-                           xoffset=24, yoffset=5)
+    st = run_modulate(NTSC, st, img, xoffset=24, yoffset=5)
     np.testing.assert_array_equal(np.asarray(st.analog), orc.analog)
-    st = pipeline.demodulate(NTSC, st, noise=0)
+    st = run_demodulate(NTSC, st, noise=0)
     got = np.asarray(st.out)
     # rows sourced from the final analog line are excluded (reference reads
     # OOB there — UB; we wrap): see oracle/parity.py and docs/PARITY.md #1
@@ -58,9 +57,8 @@ def test_ub_divergence_fixture(tmp_path):
     orc.modulate(img, field=0, frame=0, xoffset=24, yoffset=5)
     ref = orc.demodulate(noise=0)
     st = pipeline.crt_init(NTSC, 320, 240)
-    st = pipeline.modulate(NTSC, st, jnp.asarray(img), field=0, frame=0,
-                           xoffset=24, yoffset=5)
-    st = pipeline.demodulate(NTSC, st, noise=0)
+    st = run_modulate(NTSC, st, img, xoffset=24, yoffset=5)
+    st = run_demodulate(NTSC, st, noise=0)
     got = np.asarray(st.out)
     ok = ub_rows(NTSC, int(st.vsync), 240)
     masked = got[~ok]
@@ -90,8 +88,8 @@ def test_extreme_knobs_parity():
     mon = MonitorParams(saturation=np.int32(25), contrast=np.int32(255),
                         brightness=np.int32(-30), hue=np.int32(350))
     st = pipeline.crt_init(SNES, 320, 240)
-    st = pipeline.step(SNES, st, jnp.asarray(img), field=0, frame=0,
-                       hue=180, noise=40, mon=mon, dot_crawl_offset=2)
+    st = run_step(SNES, st, img, hue=180, noise=40, mon=mon,
+                  dot_crawl_offset=2)
     np.testing.assert_array_equal(np.asarray(st.out), ref)
 
 
@@ -103,7 +101,7 @@ def test_odd_output_geometry():
     orc.modulate(img, field=1, frame=0)
     ref = orc.demodulate(noise=3)
     st = pipeline.crt_init(NTSC, 531, 377)
-    st = pipeline.step(NTSC, st, jnp.asarray(img), field=1, frame=0, noise=3)
+    st = run_step(NTSC, st, img, field=1, noise=3)
     np.testing.assert_array_equal(np.asarray(st.out), ref)
 
 
@@ -123,13 +121,11 @@ def test_blend_small_outh_divergence_fixture():
     from ntsc_crt_tpu.models.demodulate import MonitorParams
     mon = MonitorParams(blend=jnp.int32(1))
     st = pipeline.crt_init(NTSC, outw, outh)
-    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
-        NTSC, s, im, field=fi, frame=fr, noise=0, mon=mon))
     field = frame = 0
     for n in range(2):             # 2 frames so prev-frame blending engages
         orc.modulate(img, field=field, frame=frame)
         ref = orc.demodulate(noise=0)
-        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        st = run_step(NTSC, st, img, field=field, frame=frame, mon=mon)
         field ^= 1
     got = np.asarray(st.out)
 

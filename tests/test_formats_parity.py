@@ -22,6 +22,7 @@ from ntsc_crt_tpu.models.systems import SYSTEMS, NTSC
 from ntsc_crt_tpu.models import pipeline
 from ntsc_crt_tpu.utils import formats
 from oracle import Oracle
+from helpers import run_modulate, run_demodulate
 
 _ALL_FMTS = [
     ("RGB", formats.RGB), ("BGR", formats.BGR), ("ARGB", formats.ARGB),
@@ -47,12 +48,11 @@ def test_ntsc_input_format_parity(name, fmt):
     for n in range(2):
         orc.modulate(raw, field=field, frame=frame, fmt=fmt)
         ref = orc.demodulate(noise=9)
-        st = pipeline.modulate(NTSC, st, rgb, field=field, frame=frame,
-                               black_point=0, white_point=100)
+        st = run_modulate(NTSC, st, rgb, field=field, frame=frame)
         np.testing.assert_array_equal(
             np.asarray(st.analog), orc.analog,
             err_msg=f"{name} frame {n} analog")
-        st = pipeline.demodulate(NTSC, st, noise=9)
+        st = run_demodulate(NTSC, st, noise=9)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"{name} frame {n} out")
         field ^= 1
@@ -70,11 +70,10 @@ def test_nesrgb_input_format_parity(name, fmt):
     for n in range(2):
         orc.modulate(raw, fmt=fmt, dot_crawl_offset=n % 3)
         ref = orc.demodulate(noise=0)
-        st = pipeline.modulate(cfg, st, rgb, dot_crawl_offset=n % 3,
-                               black_point=0, white_point=100)
+        st = run_modulate(cfg, st, rgb, dc=n % 3)
         np.testing.assert_array_equal(
             np.asarray(st.analog), orc.analog,
             err_msg=f"{name} frame {n} analog")
-        st = pipeline.demodulate(cfg, st, noise=0)
+        st = run_demodulate(cfg, st, noise=0)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"{name} frame {n} out")

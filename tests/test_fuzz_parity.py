@@ -25,6 +25,7 @@ from ntsc_crt_tpu.models.systems import SYSTEMS
 from ntsc_crt_tpu.models import pipeline
 from ntsc_crt_tpu.models.demodulate import MonitorParams
 from oracle import Oracle
+from helpers import run_step
 
 _SYS = ["NTSC", "SNES", "TEMPLATE", "PV1K", "NESRGB", "NTSCVHS"]
 _GEOM = [(160, 120), (320, 240), (531, 377), (640, 480)]
@@ -70,15 +71,13 @@ def test_fuzz_roundtrip_parity(case):
 
     mon = MonitorParams(**{k: jnp.int32(v) for k, v in case["mon"].items()})
     st = pipeline.crt_init(cfg, outw, outh)
-    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
-        cfg, s, im, field=fi, frame=fr, hue=case["enc_hue"],
-        noise=case["noise"], mon=mon))
 
     field = frame = 0
     for n in range(2):
         orc.modulate(img, field=field, frame=frame, hue=case["enc_hue"])
         ref = orc.demodulate(noise=case["noise"])
-        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        st = run_step(cfg, st, img, field=field, frame=frame,
+                      hue=case["enc_hue"], noise=case["noise"], mon=mon)
         np.testing.assert_array_equal(
             np.asarray(st.out), ref,
             err_msg=f"{case} frame {n}")
@@ -131,15 +130,13 @@ def test_fuzz_nes_roundtrip_parity(case):
 
     mon = MonitorParams(**{k: jnp.int32(v) for k, v in case["mon"].items()})
     st = pipeline.crt_init(cfg, outw, outh)
-    fn = jax.jit(lambda s, im, dc: pipeline.step(
-        cfg, s, im, field=0, frame=0, noise=case["noise"], mon=mon,
-        dot_crawl_offset=dc))
 
     for n in range(2):
         dc = (case["dco"] + n) % 3
         orc.modulate(ppu, field=0, frame=0, dot_crawl_offset=dc)
         ref = orc.demodulate(noise=case["noise"])
-        st = fn(st, jnp.asarray(ppu), jnp.int32(dc))
+        st = run_step(cfg, st, ppu, noise=case["noise"], mon=mon,
+                      dot_crawl_offset=dc)
         np.testing.assert_array_equal(
             np.asarray(st.out), ref, err_msg=f"{case} frame {n}")
         np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf)

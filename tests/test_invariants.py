@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from ntsc_crt_tpu.models.systems import NTSC, SYSTEMS
 from ntsc_crt_tpu.models import pipeline
+from helpers import run_step, run_modulate, run_demodulate
 
 
 def test_artifact_colors_from_bw_probe():
@@ -17,7 +18,7 @@ def test_artifact_colors_from_bw_probe():
     img[:, 0::4] = 255  # stripes at the subcarrier frequency (4 samples/cc)
     img[:, 1::4] = 255
     st = pipeline.crt_init(NTSC, 640, 480)
-    st = pipeline.step(NTSC, st, jnp.asarray(img), field=0, frame=0, raw=True)
+    st = run_step(NTSC, st, img, raw=True)
     out = np.asarray(st.out).astype(int)
     chroma = np.abs(out[..., 0] - out[..., 2]).mean()
     assert chroma > 8, f"expected artifact colors, chroma={chroma}"
@@ -29,8 +30,7 @@ def test_vsync_recovery_under_noise():
     img = np.random.RandomState(0).randint(0, 256, (240, 320, 3), np.uint8)
     st = pipeline.crt_init(NTSC, 320, 240)
     for n in range(4):
-        st = pipeline.step(NTSC, st, jnp.asarray(img), field=n & 1, frame=0,
-                           noise=90)
+        st = run_step(NTSC, st, img, field=n & 1, noise=90)
     # vsync estimate stays near the true sync region (lines 3-6 + jitter)
     assert 0 <= int(st.vsync) <= 10
 
@@ -40,7 +40,7 @@ def test_rainbow_variant_runs():
     assert cfg.hres == 912
     img = np.random.RandomState(1).randint(0, 256, (72, 96, 3), np.uint8)
     st = pipeline.crt_init(cfg, 160, 120)
-    st = pipeline.step(cfg, st, jnp.asarray(img), field=0, frame=0)
+    st = run_step(cfg, st, img)
     assert np.asarray(st.out).mean() > 5
 
 
@@ -53,8 +53,7 @@ def test_dot_crawl_periodicity():
     outs = []
     for dco in range(cfg.cc_vper + 1):
         st = pipeline.crt_init(cfg, 160, 120)
-        st = pipeline.modulate(cfg, st, jnp.asarray(img),
-                               field=0, frame=0, hue=0, dot_crawl_offset=dco)
+        st = run_modulate(cfg, st, img, dot_crawl_offset=dco)
         outs.append(np.asarray(st.analog))
     np.testing.assert_array_equal(outs[0], outs[cfg.cc_vper])  # period VPER
     assert (outs[0] != outs[1]).any()
@@ -63,9 +62,9 @@ def test_dot_crawl_periodicity():
 def test_crt_resize():
     img = np.random.RandomState(3).randint(0, 256, (72, 96, 3), np.uint8)
     st = pipeline.crt_init(NTSC, 160, 120)
-    st = pipeline.step(NTSC, st, jnp.asarray(img), field=0, frame=0)
+    st = run_step(NTSC, st, img)
     st2 = pipeline.crt_resize(NTSC, st, 320, 240)
     assert st2.out.shape == (240, 320, 3)
     np.testing.assert_array_equal(np.asarray(st2.analog), np.asarray(st.analog))
-    st2 = pipeline.demodulate(NTSC, st2, noise=0)
+    st2 = run_demodulate(NTSC, st2, noise=0)
     assert np.asarray(st2.out).mean() > 5

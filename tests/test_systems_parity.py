@@ -11,6 +11,7 @@ from ntsc_crt_tpu.models.systems import SYSTEMS
 from ntsc_crt_tpu.models import pipeline
 from ntsc_crt_tpu.models.demodulate import MonitorParams
 from oracle import Oracle
+from helpers import run_step, run_modulate
 
 
 def _img(seed, w=320, h=240):
@@ -29,15 +30,13 @@ RGB_SYSTEMS = ["NTSC", "SNES", "TEMPLATE", "PV1K", "NESRGB"]
 @pytest.mark.parametrize("system", RGB_SYSTEMS + ["NES"])
 def test_modulate_parity(system):
     cfg = SYSTEMS[system]
-    orc = Oracle(system, outw=640, outh=480)
+    orc = Oracle(system, outw=320, outh=240)
     img = _ppu(0) if system == "NES" else _img(0)
 
-    st = pipeline.crt_init(cfg, 640, 480)
-    fn = jax.jit(lambda s, im, dc: pipeline.modulate(
-        cfg, s, im, field=0, frame=0, hue=0, dot_crawl_offset=dc))
+    st = pipeline.crt_init(cfg, 320, 240)
     for dc in (0, 1, 2):
         orc.modulate(img, field=0, frame=0, hue=0, dot_crawl_offset=dc)
-        st = fn(st, jnp.asarray(img), jnp.int32(dc))
+        st = run_modulate(cfg, st, img, dc=dc)
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"{system} dc={dc} analog")
         np.testing.assert_array_equal(np.asarray(st.ccf), orc.ccf,
@@ -48,21 +47,17 @@ def test_modulate_parity(system):
 @pytest.mark.parametrize("noise", [0, 30])
 def test_roundtrip_parity(system, noise):
     cfg = SYSTEMS[system]
-    orc = Oracle(system, outw=640, outh=480)
+    orc = Oracle(system, outw=320, outh=240)
     img = _ppu(1) if system == "NES" else _img(1)
 
-    st = pipeline.crt_init(cfg, 640, 480)
-    fn = jax.jit(lambda s, im, fi, fr, dc: pipeline.step(
-        cfg, s, im, field=fi, frame=fr, hue=0, noise=noise,
-        dot_crawl_offset=dc))
-
+    st = pipeline.crt_init(cfg, 320, 240)
     field = frame = 0
     for n in range(3):
         dc = n % 3
         orc.modulate(img, field=field, frame=frame, dot_crawl_offset=dc)
         ref = orc.demodulate(noise=noise)
-        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame),
-                jnp.int32(dc))
+        st = run_step(cfg, st, img, field=field, frame=frame, noise=noise,
+                      dc=dc)
         np.testing.assert_array_equal(
             np.asarray(st.out), ref, err_msg=f"{system} frame {n}")
         assert int(st.hsync) == orc.crt.hsync, f"{system} frame {n} hsync"

@@ -22,6 +22,7 @@ from ntsc_crt_tpu.models.systems import SYSTEMS, NTSC, NES, SNES
 from ntsc_crt_tpu.models import pipeline
 from oracle import Oracle
 from oracle.parity import assert_parity_outside_ub
+from helpers import run_modulate, run_demodulate
 
 
 def _img(seed, w=320, h=240):
@@ -38,13 +39,11 @@ def _roundtrip_frames(cfg, orc, img, n_frames=2, noise=0, modkw=None,
     for n in range(n_frames):
         orc.modulate(img, field=field, frame=frame, **modkw)
         ref = orc.demodulate(noise=noise)
-        st = pipeline.modulate(cfg, st, jnp.asarray(img), field=field,
-                               frame=frame, black_point=0, white_point=100,
-                               **modkw)
+        st = run_modulate(cfg, st, img, field=field, frame=frame, **modkw)
         if check_analog:
             np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                           err_msg=f"frame {n} analog")
-        st = pipeline.demodulate(cfg, st, noise=noise, **demkw)
+        st = run_demodulate(cfg, st, noise=noise, **demkw)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"frame {n} out")
         assert int(st.hsync) == orc.crt.hsync
@@ -67,12 +66,11 @@ def test_bloom_parity(noise):
     for n in range(3):
         orc.modulate(img, field=field, frame=frame)
         ref = orc.demodulate(noise=noise)
-        st = pipeline.modulate(NTSC, st, jnp.asarray(img), field=field,
-                               frame=frame, black_point=0, white_point=100,
-                               do_bloom=True)
+        st = run_modulate(NTSC, st, img, field=field, frame=frame,
+                          do_bloom=True)
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"bloom frame {n} analog")
-        st = pipeline.demodulate(NTSC, st, noise=noise, do_bloom=True)
+        st = run_demodulate(NTSC, st, noise=noise, do_bloom=True)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"bloom frame {n} out")
         assert int(st.hsync) == orc.crt.hsync
@@ -96,12 +94,11 @@ def test_bloom_parity_vper(system):
     for n in range(2):
         orc.modulate(img, field=field, frame=frame, dot_crawl_offset=n)
         ref = orc.demodulate(noise=0)
-        st = pipeline.modulate(cfg, st, jnp.asarray(img), field=field,
-                               frame=frame, black_point=0, white_point=100,
-                               dot_crawl_offset=n, do_bloom=True)
+        st = run_modulate(cfg, st, img, field=field, frame=frame,
+                          dot_crawl_offset=n, do_bloom=True)
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"{system} bloom frame {n} analog")
-        st = pipeline.demodulate(cfg, st, noise=0, do_bloom=True)
+        st = run_demodulate(cfg, st, noise=0, do_bloom=True)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"{system} bloom frame {n} out")
         assert int(st.hsync) == orc.crt.hsync
@@ -125,12 +122,11 @@ def test_bloom_parity_vhs():
     for n in range(2):
         orc.modulate(img, field=field, frame=0, do_aberration=0)
         ref = orc.demodulate(noise=8)
-        st = pipeline.modulate(cfg, st, jnp.asarray(img), field=field,
-                               frame=0, black_point=0, white_point=100,
-                               do_aberration=0, do_bloom=True)
+        st = run_modulate(cfg, st, img, field=field, frame=0,
+                          do_aberration=0, do_bloom=True)
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"vhs bloom frame {n} analog")
-        st = pipeline.demodulate(cfg, st, noise=8, do_bloom=True)
+        st = run_demodulate(cfg, st, noise=8, do_bloom=True)
         assert_parity_outside_ub(np.asarray(st.out), ref, cfg,
                                  orc.crt.vsync, err_msg=f"vhs bloom frame {n}")
         assert int(st.rn) == orc.crt.rn
@@ -163,12 +159,11 @@ def test_nes_border_parity():
     for n, (bc, dc) in enumerate([(0x22, 0), (0x16, 1), (0x3F, 2)]):
         orc.modulate(ppu, border_color=bc, dot_crawl_offset=dc)
         ref = orc.demodulate(noise=0)
-        st = pipeline.modulate(NES, st, jnp.asarray(ppu), border_color=bc,
-                               dot_crawl_offset=dc, draw_border=True,
-                               black_point=0, white_point=100)
+        st = run_modulate(NES, st, ppu, border_color=bc,
+                          dot_crawl_offset=dc, draw_border=True)
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"border frame {n} analog")
-        st = pipeline.demodulate(NES, st, noise=0)
+        st = run_demodulate(NES, st, noise=0)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"border frame {n} out")
 
@@ -184,12 +179,11 @@ def test_nes_unoptimized_build_matches():
     for dc in (0, 1):
         orc.modulate(ppu, dot_crawl_offset=dc)
         ref = orc.demodulate(noise=0)
-        st = pipeline.modulate(NES, st, jnp.asarray(ppu), dot_crawl_offset=dc,
-                               black_point=0, white_point=100,
-                               optimized=False)
+        st = run_modulate(NES, st, ppu, dot_crawl_offset=dc,
+                          optimized=False)
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"dc={dc} analog")
-        st = pipeline.demodulate(NES, st, noise=0)
+        st = run_demodulate(NES, st, noise=0)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"dc={dc} out")
 
@@ -217,12 +211,11 @@ def test_vhs_lp_ep_parity(mode):
     for n in range(2):
         orc.modulate(img, field=field, frame=frame, do_aberration=0)
         ref = orc.demodulate(noise=12)
-        st = pipeline.modulate(cfg, st, jnp.asarray(img), field=field,
-                               frame=frame, black_point=0, white_point=100,
-                               do_aberration=0)
+        st = run_modulate(cfg, st, img, field=field, frame=frame,
+                          do_aberration=0)
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"{mode} frame {n} analog")
-        st = pipeline.demodulate(cfg, st, noise=12)
+        st = run_demodulate(cfg, st, noise=12)
         assert_parity_outside_ub(np.asarray(st.out), ref, cfg,
                                  orc.crt.vsync, err_msg=f"{mode} frame {n}")
         assert int(st.rn) == orc.crt.rn
@@ -247,10 +240,9 @@ def test_fixed_sync_modes_parity(dov, doh):
     for n in range(3):
         orc.modulate(img, field=field, frame=frame)
         ref = orc.demodulate(noise=40)
-        st = pipeline.modulate(NTSC, st, jnp.asarray(img), field=field,
-                               frame=frame, black_point=0, white_point=100)
-        st = pipeline.demodulate(NTSC, st, noise=40,
-                                 do_vsync=bool(dov), do_hsync=bool(doh))
+        st = run_modulate(NTSC, st, img, field=field, frame=frame)
+        st = run_demodulate(NTSC, st, noise=40,
+                            do_vsync=bool(dov), do_hsync=bool(doh))
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"v{dov}h{doh} frame {n} out")
         assert int(st.hsync) == orc.crt.hsync, f"frame {n} hsync"
@@ -271,11 +263,10 @@ def test_fixed_sync_pv1k_parity():
     for n in range(2):
         orc.modulate(img, field=0, frame=0, dot_crawl_offset=n)
         ref = orc.demodulate(noise=20)
-        st = pipeline.modulate(PV1K, st, jnp.asarray(img), field=0, frame=0,
-                               black_point=0, white_point=100,
-                               dot_crawl_offset=n)
-        st = pipeline.demodulate(PV1K, st, noise=20,
-                                 do_vsync=False, do_hsync=False)
+        st = run_modulate(PV1K, st, img, field=0, frame=0,
+                          dot_crawl_offset=n)
+        st = run_demodulate(PV1K, st, noise=20,
+                            do_vsync=False, do_hsync=False)
         np.testing.assert_array_equal(np.asarray(st.out), ref,
                                       err_msg=f"pv1k frame {n}")
         assert int(st.vsync) == orc.crt.vsync

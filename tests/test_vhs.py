@@ -11,6 +11,7 @@ from ntsc_crt_tpu.models.systems import NTSCVHS
 from ntsc_crt_tpu.models import pipeline
 from oracle import Oracle
 from oracle.parity import assert_parity_outside_ub
+from helpers import run_step
 
 
 def _img(seed, w=320, h=240):
@@ -21,13 +22,10 @@ def _img(seed, w=320, h=240):
 @pytest.mark.parametrize("aberration", [0, 1])
 def test_vhs_roundtrip(aberration):
     seed = 987654
-    orc = Oracle("NTSCVHS", outw=640, outh=480)
+    orc = Oracle("NTSCVHS", outw=320, outh=240)
     orc.srand(seed)
 
-    st = pipeline.crt_init(NTSCVHS, 640, 480, rand_seed=seed)
-    fn = jax.jit(lambda s, im, fi, fr: pipeline.step(
-        NTSCVHS, s, im, field=fi, frame=fr, noise=20,
-        do_aberration=aberration))
+    st = pipeline.crt_init(NTSCVHS, 320, 240, rand_seed=seed)
 
     img = _img(4)
     field = frame = 0
@@ -35,7 +33,8 @@ def test_vhs_roundtrip(aberration):
         orc.modulate(img, field=field, frame=frame,
                      do_aberration=aberration)
         ref = orc.demodulate(noise=20)
-        st = fn(st, jnp.asarray(img), jnp.int32(field), jnp.int32(frame))
+        st = run_step(NTSCVHS, st, img, field=field, frame=frame, noise=20,
+                      do_aberration=aberration)
         np.testing.assert_array_equal(np.asarray(st.analog), orc.analog,
                                       err_msg=f"frame {n} analog")
         got = np.asarray(st.out)
