@@ -20,3 +20,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_accumulation():
+    """Full-suite runs segfault late inside XLA CPU *compilation* once a
+    process has accumulated enough live compiled executables (position-
+    varying, never reproducible in file subsets; observed after ~80-190
+    tests).  Dropping executable references at module boundaries keeps the
+    per-process JIT footprint bounded; tests/helpers.py's shared wrappers
+    transparently recompile on next use, so within-module compile sharing
+    (the performance win) is unaffected."""
+    yield
+    jax.clear_caches()
